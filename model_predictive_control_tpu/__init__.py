@@ -1,0 +1,39 @@
+"""model_predictive_control_tpu — a TPU-native MPC / trajectory-optimization engine.
+
+Built from scratch in JAX/XLA/Pallas, covering the capability range of the reference
+MPC course repo (konnpaku-youmu/Model_Predictive_Control): finite-horizon LQR via
+Riccati scans, constrained receding-horizon linear MPC as condensed box-QPs,
+reference-tracking MPC with warm starts, and nonlinear single-shooting SQP MPC for
+kinematic-bicycle parking with covering-circle obstacle avoidance — batched over
+scenarios, sharded over TPU meshes.
+
+See SURVEY.md for the structural analysis of the reference and citations per module.
+"""
+
+from .models.linear import (
+    LinearSystem,
+    double_integrator_continuous,
+    double_integrator_discrete,
+    session2_dynamics,
+)
+from .models.parameters import VehicleParameters
+from .models.bicycle import KinematicBicycle, kinematic_bicycle_ode
+from .ops.integrators import euler, heun, rk4, rk4_fine, get_integrator
+from .ops.riccati import riccati_recursion, dare_sda, dare_residual, lqr_gain
+from .control.simulate import (
+    SimResult,
+    simulate,
+    rollout,
+    policy_from_law,
+    open_loop_policy,
+)
+from .solvers.lqr import (
+    LQRSolution,
+    solve_finite_horizon,
+    solve_infinite_horizon,
+    receding_horizon_policy,
+    prediction_policy,
+    cost_to_go,
+)
+
+__version__ = "0.1.0"
