@@ -35,5 +35,20 @@ from .solvers.lqr import (
     prediction_policy,
     cost_to_go,
 )
+from .ops.condensed import CondensedQP, build_condensed_qp, prediction_matrices
+from .solvers.qp import (
+    QPOperator,
+    QPSolution,
+    qp_setup,
+    admm_solve,
+    pdip_solve,
+)
+from .solvers.linear_mpc import (
+    Problem,
+    LinearMPC,
+    make_linear_mpc,
+    session2_problem,
+    session3_problem,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,183 @@
+"""Condensed-QP construction for linear MPC (sessions 2/3 capability).
+
+The reference never committed its session-2/3 solver scripts — only the problem data
+(``session_2/problem.py:4-33``) and the log schema (``session_2/log.py:8-12``), which
+imply a condensed receding-horizon QP (SURVEY.md §2 "Missing counterpart"). This
+module supplies that layer, TPU-first.
+
+Single-shooting condensation: with ``x̄ = [x_1; …; x_N]`` and ``ū = [u_0; …; u_{N-1}]``,
+
+    x̄ = Φ x0 + Γ ū,   Φ block-row k = A^{k+1},   Γ[k, j] = A^{k-j} B  (j ≤ k)
+
+    J(ū; x0) = ½ ūᵀ P ū + q(x0)ᵀ ū + const,
+    P = 2 (Γᵀ Q̄ Γ + R̄),   q = 2 Γᵀ Q̄ (Φ x0 − x̄_ref)
+
+with ``Q̄ = blkdiag(Q ×(N-1), QN)`` over ``x_1..x_N`` and ``R̄ = blkdiag(R ×N)``
+(the x0 stage cost is constant and dropped). Constraints stack input boxes and state
+boxes into the OSQP-style two-sided form ``l(x0) ≤ A_c ū ≤ u(x0)`` with
+``A_c = [I; Γ]``.
+
+All of it is built with ``lax.scan`` over matrix powers + one dense einsum — shapes
+are static in (N, nx, nu), and the builder jits/vmaps over (A, B, Q, R) so parameter
+scenarios give batched QPs for free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.precision import solver_precision
+from ..utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class CondensedQP:
+    """Condensed MPC-QP data, fixed for a given (system, horizon, weights).
+
+    Per-solve quantities (q, constraint bounds) are affine in ``x0`` and computed by
+    :meth:`qp_vectors`; everything here is precomputable and shared across a scenario
+    batch when the system is shared.
+    """
+
+    P: jnp.ndarray  # (n, n) quadratic term, n = N*nu
+    A_c: jnp.ndarray  # (m, n) constraint matrix [I; Γ], m = N*nu + N*nx
+    Phi: jnp.ndarray  # (N*nx, nx)
+    Gamma: jnp.ndarray  # (N*nx, n)
+    q_x0: jnp.ndarray  # (n, nx): q(x0) = q_x0 @ x0 + q_const
+    q_const: jnp.ndarray  # (n,)
+    u_lb: jnp.ndarray  # (n,) input lower bounds
+    u_ub: jnp.ndarray  # (n,)
+    x_lb: jnp.ndarray  # (N*nx,) state lower bounds (pre-shift)
+    x_ub: jnp.ndarray  # (N*nx,)
+    N: int = static_field()
+    nx: int = static_field()
+    nu: int = static_field()
+
+    @property
+    def n(self) -> int:
+        return self.N * self.nu
+
+    @property
+    def m(self) -> int:
+        return self.N * self.nu + self.N * self.nx
+
+    def qp_vectors(
+        self, x0: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Per-scenario linear term and constraint bounds: (q, l, u)."""
+        shift = self.Phi @ x0
+        q = self.q_x0 @ x0 + self.q_const
+        l = jnp.concatenate([self.u_lb, self.x_lb - shift])
+        u = jnp.concatenate([self.u_ub, self.x_ub - shift])
+        return q, l, u
+
+    def predict_states(self, x0: jnp.ndarray, u_flat: jnp.ndarray) -> jnp.ndarray:
+        """x̄ = Φ x0 + Γ ū, reshaped to (N, nx)."""
+        return (self.Phi @ x0 + self.Gamma @ u_flat).reshape(self.N, self.nx)
+
+
+def prediction_matrices(
+    A: jnp.ndarray, B: jnp.ndarray, N: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense prediction matrices (Φ, Γ) via a matrix-power scan.
+
+    Returns ``Phi`` of shape ``(N*nx, nx)`` and ``Gamma`` of shape ``(N*nx, N*nu)``.
+    The lower-block-Toeplitz Γ is gathered from the power stack
+    ``[B, AB, …, A^{N-1}B]`` with a static index/mask grid — no Python-level
+    dependence on traced values, so the builder itself jits and vmaps.
+    """
+    nx, nu = B.shape
+
+    def power_step(Ak, _):
+        return A @ Ak, Ak
+
+    _, powers = jax.lax.scan(
+        power_step, jnp.eye(nx, dtype=A.dtype), None, length=N
+    )  # powers[i] = A^i, i = 0..N-1
+
+    # Phi rows: A^{k+1} for k = 0..N-1
+    phi_blocks = jnp.einsum("ij,njk->nik", A, powers)  # A^{k+1}
+    Phi = phi_blocks.reshape(N * nx, nx)
+
+    AB = jnp.einsum("nij,jk->nik", powers, B)  # AB[i] = A^i B
+
+    # Gamma block (k, j) = A^{k-j} B for j <= k else 0
+    k_idx = jnp.arange(N)[:, None]
+    j_idx = jnp.arange(N)[None, :]
+    diff = k_idx - j_idx  # (N, N)
+    gather = jnp.clip(diff, 0, N - 1)
+    blocks = AB[gather]  # (N, N, nx, nu)
+    mask = (diff >= 0)[:, :, None, None]
+    blocks = jnp.where(mask, blocks, jnp.zeros_like(blocks))
+    Gamma = blocks.transpose(0, 2, 1, 3).reshape(N * nx, N * nu)
+    return Phi, Gamma
+
+
+@solver_precision
+def build_condensed_qp(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    Q: jnp.ndarray,
+    R: jnp.ndarray,
+    QN: jnp.ndarray,
+    N: int,
+    u_min: jnp.ndarray,
+    u_max: jnp.ndarray,
+    x_min: jnp.ndarray,
+    x_max: jnp.ndarray,
+    x_ref: jnp.ndarray | None = None,
+) -> CondensedQP:
+    """Assemble the condensed QP from problem data.
+
+    ``x_ref`` (shape ``(nx,)`` or ``(N, nx)``) enables the session-3 tracking
+    variant: the stage cost becomes ``(x_k − x_ref_k)ᵀ Q (x_k − x_ref_k)``.
+    """
+    nx, nu = B.shape
+    dtype = B.dtype
+    Phi, Gamma = prediction_matrices(A, B, N)
+
+    # Q̄ as a (N*nx, N*nx) block diagonal: Q for stages 1..N-1, QN for stage N.
+    Qbar_blocks = jnp.concatenate(
+        [jnp.tile(Q[None], (N - 1, 1, 1)), QN[None]], axis=0
+    )
+    QbarGamma = (
+        jnp.einsum(
+            "nij,njk->nik",
+            Qbar_blocks,
+            Gamma.reshape(N, nx, N * nu),
+        ).reshape(N * nx, N * nu)
+    )
+    H = Gamma.T @ QbarGamma
+    Rbar = jnp.kron(jnp.eye(N, dtype=dtype), R)
+    P = 2.0 * (H + Rbar)
+    P = 0.5 * (P + P.T)
+
+    q_x0 = 2.0 * QbarGamma.T @ Phi
+
+    if x_ref is None:
+        q_const = jnp.zeros(N * nu, dtype=dtype)
+    else:
+        x_ref = jnp.asarray(x_ref, dtype=dtype)
+        if x_ref.ndim == 1:
+            x_ref = jnp.tile(x_ref[None], (N, 1))
+        q_const = -2.0 * QbarGamma.T @ x_ref.reshape(N * nx)
+
+    A_c = jnp.concatenate([jnp.eye(N * nu, dtype=dtype), Gamma], axis=0)
+
+    tile = lambda v: jnp.tile(jnp.asarray(v, dtype=dtype), N)
+    return CondensedQP(
+        P=P,
+        A_c=A_c,
+        Phi=Phi,
+        Gamma=Gamma,
+        q_x0=q_x0,
+        q_const=q_const,
+        u_lb=tile(u_min),
+        u_ub=tile(u_max),
+        x_lb=tile(x_min),
+        x_ub=tile(x_max),
+        N=N,
+        nx=nx,
+        nu=nu,
+    )

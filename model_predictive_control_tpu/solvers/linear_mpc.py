@@ -1,0 +1,189 @@
+"""Constrained linear MPC (sessions 2/3 capability).
+
+The reference committed only the problem data (``session_2/problem.py:4-33``,
+``session_3/problem.py:8-36``) and the telemetry schema (``session_2/log.py:8-12``);
+the receding-horizon QP loop itself was never committed (SURVEY.md §3.5). This module
+supplies it: condensed-QP build from the ``Problem`` data, a warm-started batched
+box-QP solve per step, and a policy whose per-step aux reproduces the
+``ControllerLog`` fields (``solver_success`` / ``state_prediction`` /
+``input_prediction``) as stacked arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.linear import LinearSystem
+from ..ops.condensed import CondensedQP, build_condensed_qp
+from ..utils.pytree import pytree_dataclass, static_field
+from ..control.simulate import Policy
+from .qp import QPOperator, admm_solve, pdip_solve, qp_setup
+
+
+@pytree_dataclass
+class Problem:
+    """Session-2/3 problem data (mirrors ``session_2/problem.py`` semantics).
+
+    ``x = (p, v)``: position must stay below ``p_max`` (the braking wall), inputs are
+    accelerations. Defaults are session 2's; :func:`session3_problem` relaxes the
+    lower bounds the way ``session_3/problem.py:15,17`` does.
+    """
+
+    Ts: float = 0.3
+    Q: tuple = (10.0, 1.0)  # state weight diagonal (session_2/problem.py:9)
+    R: tuple = (0.01,)  # input weight diagonal
+    p_min: float = -150.0
+    p_max: float = 1.0
+    v_min: float = -20.0
+    v_max: float = 25.0
+    u_min: float = -20.0
+    u_max: float = 10.0
+    N: int = static_field(default=5)
+
+    def system(self, dtype=jnp.float32) -> LinearSystem:
+        """A = [[1, Ts], [0, 1]], B = [[0], [Ts]] (problem.py:22-24)."""
+        A = jnp.array([[1.0, self.Ts], [0.0, 1.0]], dtype=dtype)
+        B = jnp.array([[0.0], [self.Ts]], dtype=dtype)
+        return LinearSystem(A=A, B=B)
+
+    @property
+    def n_state(self) -> int:
+        return 2
+
+    @property
+    def n_input(self) -> int:
+        return 1
+
+
+def session2_problem(N: int = 5) -> Problem:
+    return Problem(N=N)
+
+
+def session3_problem(N: int = 5) -> Problem:
+    """Relaxed bounds variant (session_3/problem.py:15,17)."""
+    return Problem(p_min=-120.0, v_min=-50.0, N=N)
+
+
+@pytree_dataclass
+class LinearMPC:
+    """Receding-horizon linear MPC controller over a condensed box-QP.
+
+    Precomputes the QP family once (prediction matrices, Ruiz scaling, ADMM KKT
+    inverse); per-step work is the scenario-dependent ``(q, l, u)`` plus a fixed-
+    iteration solve — the TPU inversion of the reference's build-once/IPOPT-per-step
+    pattern (``session_4/main.py:35-39,115-116``).
+    """
+
+    qp: CondensedQP
+    op: QPOperator
+    terminal_P: jnp.ndarray | None  # optional DARE-based terminal weight record
+    solver: str = static_field(default="admm")
+    iters: int = static_field(default=200)
+
+    @property
+    def N(self) -> int:
+        return self.qp.N
+
+    def solve(self, x0: jnp.ndarray, warm: tuple | None = None):
+        """Solve the MPC QP at measured state ``x0``.
+
+        Returns ``(u_traj (N, nu), sol)`` where ``sol`` carries duals/residuals/
+        convergence (the ``solver_success`` analog).
+        """
+        q, l, u = self.qp.qp_vectors(x0)
+        if self.solver == "admm":
+            sol = admm_solve(self.op, q, l, u, iters=self.iters, warm=warm)
+        elif self.solver == "pdip":
+            sol = pdip_solve(self.op, q, l, u, iters=self.iters)
+        else:
+            raise ValueError(f"unknown solver {self.solver!r}")
+        u_traj = sol.x.reshape(self.qp.N, self.qp.nu)
+        return u_traj, sol
+
+    def policy(self) -> Policy:
+        """Receding-horizon policy for :func:`~...control.simulate.simulate`.
+
+        Carry = warm start ``(x, y)`` shifted one stage per step. Aux pytree matches
+        ``ControllerLog``: ``solver_success``, ``state_prediction`` (N, nx),
+        ``input_prediction`` (N, nu).
+        """
+        nu, nx, N = self.qp.nu, self.qp.nx, self.qp.N
+
+        def policy_fn(x, t, carry):
+            # carry is (x_warm, y_warm); an empty tuple (simulate's default
+            # policy_carry) means cold start.
+            warm = carry if (isinstance(carry, tuple) and len(carry) == 2) else None
+            u_traj, sol = self.solve(x, warm=warm)
+            x_pred = self.qp.predict_states(x, sol.x)
+            # shift warm start by one stage (repeat last input block / dual blocks)
+            x_warm = jnp.concatenate([sol.x[nu:], sol.x[-nu:]])
+            y_in = sol.y[: N * nu]
+            y_st = sol.y[N * nu :]
+            y_warm = jnp.concatenate(
+                [
+                    jnp.concatenate([y_in[nu:], jnp.zeros(nu, sol.y.dtype)]),
+                    jnp.concatenate([y_st[nx:], jnp.zeros(nx, sol.y.dtype)]),
+                ]
+            )
+            aux = {
+                "solver_success": sol.converged,
+                "state_prediction": x_pred,
+                "input_prediction": u_traj,
+                "prim_res": sol.prim_res,
+                "dual_res": sol.dual_res,
+            }
+            return u_traj[0], (x_warm, y_warm), aux
+
+        return policy_fn
+
+    def initial_carry(self, dtype=jnp.float32):
+        n = self.qp.n
+        m = self.qp.m
+        return (jnp.zeros(n, dtype=dtype), jnp.zeros(m, dtype=dtype))
+
+
+def make_linear_mpc(
+    problem: Problem,
+    solver: str = "admm",
+    iters: int = 200,
+    dtype=jnp.float32,
+    terminal: str = "Q",
+    x_ref=None,
+    rho: float = 0.1,
+) -> LinearMPC:
+    """Build a :class:`LinearMPC` from session-2/3 problem data.
+
+    ``terminal``: "Q" uses QN = Q (plain), "dare" uses the infinite-horizon Riccati
+    solution as terminal cost (the session-3 "terminal cost/set" upgrade, giving
+    stability margins at short horizons).
+    """
+    sys = problem.system(dtype)
+    Q = jnp.diag(jnp.asarray(problem.Q, dtype=dtype))
+    R = jnp.diag(jnp.asarray(problem.R, dtype=dtype))
+
+    terminal_P = None
+    if terminal == "dare":
+        from ..ops.riccati import dare_sda
+
+        terminal_P = dare_sda(sys.A, sys.B, Q, R)
+        QN = terminal_P
+    else:
+        QN = Q
+
+    qp = build_condensed_qp(
+        sys.A,
+        sys.B,
+        Q,
+        R,
+        QN,
+        problem.N,
+        u_min=jnp.asarray([problem.u_min], dtype=dtype),
+        u_max=jnp.asarray([problem.u_max], dtype=dtype),
+        x_min=jnp.asarray([problem.p_min, problem.v_min], dtype=dtype),
+        x_max=jnp.asarray([problem.p_max, problem.v_max], dtype=dtype),
+        x_ref=x_ref,
+    )
+    op = qp_setup(qp.P, qp.A_c, rho=rho)
+    return LinearMPC(
+        qp=qp, op=op, terminal_P=terminal_P, solver=solver, iters=iters
+    )
