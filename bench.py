@@ -1,0 +1,96 @@
+"""Headline benchmark: batched closed-loop MPC solves/s per chip (N=20 horizon).
+
+Runs the BASELINE.json headline config — session-2 constrained linear MPC, horizon
+N=20, receding-horizon box-QP — as a batch of randomized scenarios, each stepping a
+closed loop (solve QP at measured state → apply u_0 → advance plant) entirely on
+device. Prints ONE JSON line; vs_baseline is measured solves/s over the 10k/s
+north-star target (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import model_predictive_control_tpu as mpc
+
+BATCH = 8192
+STEPS = 50
+HORIZON = 20
+ADMM_ITERS = 100
+TARGET_SOLVES_PER_S = 10_000.0
+
+
+def main() -> None:
+    problem = mpc.session2_problem(N=HORIZON)
+    # jit the whole controller construction: eager setup pays per-op dispatch
+    # (~50 s through the remote-compile tunnel); one graph compiles in seconds.
+    ctrl = jax.jit(
+        lambda: mpc.make_linear_mpc(
+            problem, solver="admm", iters=ADMM_ITERS, dtype=jnp.float32
+        )
+    )()
+    system = problem.system(jnp.float32)
+
+    def run_one(x0):
+        res = mpc.simulate(
+            x0,
+            system,
+            steps=STEPS,
+            policy=ctrl.policy(),
+            policy_carry=ctrl.initial_carry(jnp.float32),
+            instability_norm=1e9,
+        )
+        return res.states[-1], res.logs["solver_success"]
+
+    run_batch = jax.jit(jax.vmap(run_one))
+
+    kp = jax.random.PRNGKey(0)
+    kv = jax.random.PRNGKey(1)
+    x0s = jnp.stack(
+        [
+            jax.random.uniform(kp, (BATCH,), minval=-140.0, maxval=-20.0),
+            jax.random.uniform(kv, (BATCH,), minval=-15.0, maxval=24.0),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+    # warmup / compile
+    out = run_batch(x0s)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run_batch(x0s)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    n_solves = BATCH * STEPS
+    solves_per_s = n_solves / dt
+    _, success = out
+    success_rate = float(jnp.mean(success.astype(jnp.float32)))
+
+    print(
+        json.dumps(
+            {
+                "metric": "closed_loop_mpc_solves_per_s_per_chip_N20",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / TARGET_SOLVES_PER_S, 3),
+                "batch": BATCH,
+                "steps": STEPS,
+                "admm_iters": ADMM_ITERS,
+                "success_rate": round(success_rate, 4),
+                "wall_s": round(dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
