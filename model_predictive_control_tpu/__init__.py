@@ -43,6 +43,8 @@ from .solvers.qp import (
     admm_solve,
     pdip_solve,
 )
+from .solvers.sqp import ShootingOCP, SQPSolution, sqp_solve
+from .solvers.parking import make_parking_ocp, NonlinearMPC
 from .solvers.linear_mpc import (
     Problem,
     LinearMPC,

@@ -111,6 +111,7 @@ def qp_setup(
     n_rho_levels: int = 7,
     rho_ladder_step: float = 10.0,
     equilibrate: bool = True,
+    setup_admm: bool = True,
 ) -> QPOperator:
     """Precompute scalings and the per-ρ-level ADMM reduced-KKT inverses.
 
@@ -137,7 +138,12 @@ def qp_setup(
     def inv_for(r):
         return jnp.linalg.inv(P_s + sigma_ * I + r * AtA)
 
-    Minv_stack = jax.vmap(inv_for)(rho_levels)
+    if setup_admm:
+        Minv_stack = jax.vmap(inv_for)(rho_levels)
+    else:
+        # PDIP-only operator: skip the ladder inverses; shape (0, n, n) makes any
+        # accidental ADMM use fail loudly instead of silently computing garbage.
+        Minv_stack = jnp.zeros((0,) + P.shape, dtype=dtype)
     return QPOperator(
         P=P,
         A_c=A_c,
