@@ -1,0 +1,50 @@
+"""Batched closed-loop simulation: one ``lax.scan`` over time, batch-wide policies.
+
+Complement to :mod:`.simulate` (which is per-scenario and composed with ``vmap``):
+here the *policy itself* is batched — required by solver backends that are
+intrinsically batch-level, like the fused Pallas ADMM kernel (a ``pallas_call``
+over scenario tiles cannot live inside ``vmap``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass
+
+# batched policy: (x_batch (B, nx), t, carry) -> (u_batch (B, nu), carry, aux)
+BatchedPolicy = Callable[[jnp.ndarray, jnp.ndarray, Any], tuple]
+
+
+@pytree_dataclass
+class BatchSimResult:
+    states: jnp.ndarray  # (steps + 1, B, nx)
+    inputs: jnp.ndarray  # (steps, B, nu)
+    logs: Any  # pytree, leaves (steps, ...)
+
+
+def simulate_batch(
+    x0: jnp.ndarray,  # (B, nx)
+    dynamics: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],  # unbatched
+    steps: int,
+    policy: BatchedPolicy,
+    policy_carry: Any = (),
+) -> BatchSimResult:
+    """Roll a batch of plants forward under a batch-level policy."""
+    x0 = jnp.asarray(x0)
+    dyn_b = jax.vmap(dynamics)
+
+    def step(carry, t):
+        x, pcarry = carry
+        u, pcarry, aux = policy(x, t, pcarry)
+        x_next = dyn_b(x, u)
+        return (x_next, pcarry), (x_next, u, aux)
+
+    (_, _), (xs, us, logs) = jax.lax.scan(
+        step, (x0, policy_carry), jnp.arange(steps)
+    )
+    states = jnp.concatenate([x0[None], xs], axis=0)
+    return BatchSimResult(states=states, inputs=us, logs=logs)

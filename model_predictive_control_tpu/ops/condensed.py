@@ -62,16 +62,23 @@ class CondensedQP:
     def m(self) -> int:
         return self.N * self.nu + self.N * self.nx
 
+    @solver_precision
     def qp_vectors(
         self, x0: jnp.ndarray
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Per-scenario linear term and constraint bounds: (q, l, u)."""
+        """Per-scenario linear term and constraint bounds: (q, l, u).
+
+        Solver precision matters here on TPU: at default (single-pass bf16) matmul
+        precision the QP data itself carries ~3e-3 relative error, which caps the
+        achievable solve accuracy regardless of solver quality.
+        """
         shift = self.Phi @ x0
         q = self.q_x0 @ x0 + self.q_const
         l = jnp.concatenate([self.u_lb, self.x_lb - shift])
         u = jnp.concatenate([self.u_ub, self.x_ub - shift])
         return q, l, u
 
+    @solver_precision
     def predict_states(self, x0: jnp.ndarray, u_flat: jnp.ndarray) -> jnp.ndarray:
         """x̄ = Φ x0 + Γ ū, reshaped to (N, nx)."""
         return (self.Phi @ x0 + self.Gamma @ u_flat).reshape(self.N, self.nx)

@@ -1,0 +1,374 @@
+"""Fused batched ADMM kernel (Pallas/Mosaic) — the engine's hot solver path.
+
+Motivation (measured): the XLA ADMM path executes each iteration as a handful of
+small kernels over (B, m)/(B, n) tensors — per-iteration HBM round-trips plus
+dispatch overhead dominate at MPC sizes (n=20, m=60), leaving the chip >100x under
+its bandwidth bound. This kernel runs the ENTIRE fixed-iteration ADMM solve for a
+tile of scenarios with all iterate state resident in VMEM: per tile, HBM traffic is
+one read of (q, l, u, warm) and one write of (x, z, y) — independent of the
+iteration count.
+
+Design:
+- grid over scenario tiles (``tile`` scenarios per program); shared operator data
+  (A_s, P_s, ρ-ladder KKT inverses) broadcast to every program;
+- batch-in-sublanes layout: iterates are (tile, n)/(tile, m), so every matmul is a
+  (tile × k) @ (k × n) MXU op with the batch as the M dimension;
+- ρ adaptation per tile between chunks (the XLA path adapts per scenario; within a
+  warm-started closed loop tiles behave homogeneously, and a shared ρ keeps the
+  KKT-inverse select a cheap one-hot contraction instead of a per-row gather);
+- polish and final residuals stay in the XLA path (once per solve, not hot).
+
+The public wrapper :func:`admm_solve_pallas` mirrors ``vmap(admm_solve)`` and falls
+back to interpreter mode off-TPU (tests run it on CPU via ``interpret=True``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# In-kernel matmuls must not fall back to single-pass bf16 on the MXU: solver
+# accuracy collapses (measured: closed-loop success 0.44 vs 0.98 in interpret
+# mode). HIGHEST = full f32 via multi-pass.
+_DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...solvers.qp import QPOperator, QPSolution, _unscaled_residuals
+from ...utils.precision import solver_precision
+
+
+def _admm_tile_kernel(
+    # shared operator blocks
+    Minv_ref,  # (R, n, n)
+    A_ref,  # (m, n)
+    At_ref,  # (n, m)
+    P_ref,  # (n, n)
+    Pinv_ref,  # (n, n) inv(P_s)
+    S_ref,  # (m, m) A_s inv(P_s) A_sᵀ
+    rho_ref,  # (R, 1)
+    par_ref,  # (2, 1): [sigma, alpha]
+    # per-tile scenario blocks
+    q_ref,  # (T, n)
+    l_ref,  # (T, m)
+    u_ref,  # (T, m)
+    x0_ref,  # (T, n)
+    y0_ref,  # (T, m)
+    # outputs
+    x_out,  # (T, n)
+    z_out,  # (T, m)
+    y_out,  # (T, m)
+    *,
+    iters: int,
+    chunks: int,
+    n_levels: int,
+    init_idx: int,
+    cg_polish: bool,
+    cg_iters: int,
+    eps_abs: float,
+):
+    f32 = jnp.float32
+    q = q_ref[:]
+    l = l_ref[:]
+    u = u_ref[:]
+    A = A_ref[:]
+    At = At_ref[:]  # transpose precomputed host-side (in-kernel transpose of
+    # non-128-aligned tiles hits Mosaic 'Offset change')
+    P = P_ref[:]
+    rho2 = rho_ref[:]  # (R, 1) — keep 2D throughout for Mosaic
+    sigma = par_ref[0, 0]
+    alpha = par_ref[1, 0]
+
+    x = x0_ref[:]
+    y = y0_ref[:]
+    z = jnp.clip(
+        jnp.dot(x, At, **_DOT), l, u
+    )
+
+    level_iota2 = jax.lax.broadcasted_iota(jnp.int32, (n_levels, 1), 0)
+
+    def select_level(idx):
+        onehot2 = (level_iota2 == idx).astype(f32)  # (R, 1)
+        # one-hot contraction as multiply+reduce — Mosaic cannot lower an
+        # einsum with a leading shared contraction dim ("r,rij->ij")
+        Minv = jnp.sum(onehot2[:, :, None] * Minv_ref[:], axis=0)
+        rho = jnp.sum(onehot2 * rho2)
+        return Minv, rho
+
+    chunk_len = max(1, iters // chunks)
+
+    def chunk_body(state):
+        x, z, y, idx = state
+        Minv, rho = select_level(idx)
+
+        def iter_body(_, carry):
+            x, z, y = carry
+            w = sigma * x - q + jnp.dot(rho * z - y, A, **_DOT)
+            x_t = jnp.dot(w, Minv, **_DOT)  # Minv symmetric
+            z_t = jnp.dot(x_t, At, **_DOT)
+            x_n = alpha * x_t + (1.0 - alpha) * x
+            z_pre = alpha * z_t + (1.0 - alpha) * z + y / rho
+            z_n = jnp.clip(z_pre, l, u)
+            y_n = y + rho * (alpha * z_t + (1.0 - alpha) * z - z_n)
+            return x_n, z_n, y_n
+
+        x, z, y = jax.lax.fori_loop(0, chunk_len, iter_body, (x, z, y))
+
+        # per-tile rho adaptation (OSQP-style normalized residual ratio)
+        Ax = jnp.dot(x, At, **_DOT)
+        Px = jnp.dot(x, P, **_DOT)
+        Aty = jnp.dot(y, A, **_DOT)
+        rp = jnp.max(jnp.abs(Ax - z))
+        rd = jnp.max(jnp.abs(Px + q + Aty))
+        rp_rel = rp / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))), 1e-10
+        )
+        rd_rel = rd / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+            jnp.maximum(jnp.max(jnp.abs(q)), 1e-10),
+        )
+        _, rho_now = select_level(idx)
+        target = rho_now * jnp.sqrt(rp_rel / jnp.maximum(rd_rel, 1e-16))
+        # manual 2D argmin (1D argmin lowering is fragile in Mosaic)
+        diff2 = jnp.abs(jnp.log(rho2) - jnp.log(jnp.maximum(target, 1e-12)))
+        is_min = diff2 <= jnp.min(diff2)
+        big = jnp.int32(n_levels)
+        cand = jnp.min(jnp.where(is_min, level_iota2, big)).astype(jnp.int32)
+        # Hysteresis (OSQP adaptive_rho_tolerance): only move on a >5x target
+        # ratio, never once converged — re-adapting ρ on a warm-started,
+        # already-converged tile kicks the iterate off the fixed point.
+        scale_s = 1.0 + jnp.max(jnp.abs(q))
+        conv = jnp.logical_and(rp < eps_abs * scale_s, rd < eps_abs * scale_s)
+        move = jnp.logical_or(target > 5.0 * rho_now, 5.0 * target < rho_now)
+        new_idx = jnp.where(
+            jnp.logical_and(move, jnp.logical_not(conv)), cand, idx
+        )
+        return x, z, y, new_idx
+
+    state = (x, z, y, jnp.int32(init_idx))
+    for _ in range(chunks):
+        state = chunk_body(state)
+    x, z, y, _ = state
+
+    if cg_polish:
+        # Matrix-free active-set polish in scaled space. Eliminating x from the
+        # equality-KKT system on the detected active set gives the Schur system
+        #   M ν = −d∘(b + A P⁻¹ q),  M v = d∘(S (d∘v)) + (1−d)∘v
+        # with shared S = A P⁻¹ Aᵀ — solved per scenario by fixed-iteration CG
+        # (M is SPD). No per-scenario factorization: every op is a batched
+        # matmul or elementwise mask, so the polish runs at ADMM-iteration cost
+        # instead of a batched 80×80 LU (which dominated the step time ~50x).
+        Pinv = Pinv_ref[:]
+        Sm = S_ref[:]
+        big_b = jnp.float32(1e19)
+        ytol = 1e-6 * jnp.maximum(
+            jnp.max(jnp.abs(y), axis=1, keepdims=True), 1e-6
+        )
+        low = (y < -ytol) & (l > -big_b)
+        up = (y > ytol) & (u < big_b)
+        d = (low | up).astype(f32)
+        b = jnp.where(low, l, jnp.where(up, u, jnp.zeros_like(u)))
+
+        Pinv_q = jnp.dot(q, Pinv, **_DOT)  # (T, n)
+        APq = jnp.dot(Pinv_q, At, **_DOT)  # (T, m)
+        rhs = -d * (b + APq)
+
+        def Mv(v):
+            Sv = jnp.dot(d * v, Sm, **_DOT)
+            return d * Sv + (1.0 - d) * v
+
+        def rowsum(a):
+            return jnp.sum(a, axis=1, keepdims=True)
+
+        def cg_body(_, carry):
+            nu, r, pvec, rs = carry
+            Mp = Mv(pvec)
+            a_cg = rs / jnp.maximum(rowsum(pvec * Mp), 1e-30)
+            nu = nu + a_cg * pvec
+            r = r - a_cg * Mp
+            rs_new = rowsum(r * r)
+            beta = rs_new / jnp.maximum(rs, 1e-30)
+            pvec = r + beta * pvec
+            return nu, r, pvec, rs_new
+
+        nu0 = jnp.zeros_like(rhs)
+        nu, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (nu0, rhs, rhs, rowsum(rhs * rhs))
+        )
+
+        y_p = d * nu
+        x_p = -jnp.dot(
+            q + jnp.dot(y_p, A, **_DOT),
+            Pinv,
+            **_DOT,
+        )
+        z_p = jnp.clip(jnp.dot(x_p, At, **_DOT), l, u)
+
+        def rowmax(a):
+            return jnp.max(a, axis=1, keepdims=True)
+
+        def scaled_res(xx, zz, yy):
+            Ax = jnp.dot(xx, At, **_DOT)
+            rp = rowmax(jnp.abs(Ax - zz))
+            rd = rowmax(
+                jnp.abs(
+                    jnp.dot(xx, P, **_DOT)
+                    + q
+                    + jnp.dot(yy, A, **_DOT)
+                )
+            )
+            return jnp.maximum(rp, rd)
+
+        res0 = scaled_res(x, z, y)
+        res1 = scaled_res(x_p, z_p, y_p)
+        stol = 1e-7
+        sign_bad = rowmax(
+            jnp.where(low & (y_p > stol), 1.0, 0.0)
+            + jnp.where(up & (y_p < -stol), 1.0, 0.0)
+        )
+        finite = rowmax(jnp.where(jnp.isfinite(x_p @ At), 0.0, 1.0))
+        accept = (res1 < res0) & (sign_bad < 0.5) & (finite < 0.5)
+        x = jnp.where(accept, x_p, x)
+        z = jnp.where(accept, z_p, z)
+        y = jnp.where(accept, y_p, y)
+
+    x_out[:] = x
+    z_out[:] = z
+    y_out[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "chunks", "tile", "interpret", "polish", "cg_iters", "eps_abs"
+    ),
+)
+@solver_precision
+def admm_solve_pallas(
+    op: QPOperator,
+    q: jnp.ndarray,  # (B, n)
+    l: jnp.ndarray,  # (B, m)
+    u: jnp.ndarray,  # (B, m)
+    warm_x: jnp.ndarray | None = None,  # (B, n) unscaled
+    warm_y: jnp.ndarray | None = None,  # (B, m) unscaled
+    iters: int = 100,
+    chunks: int = 4,
+    tile: int = 256,
+    cg_iters: int = 40,
+    alpha: float = 1.6,
+    eps_abs: float | None = None,
+    polish: bool = True,
+    interpret: bool | None = None,
+) -> QPSolution:
+    """Batched ADMM via the fused Pallas kernel; same semantics as
+    ``vmap(admm_solve)`` with per-tile (not per-scenario) ρ adaptation.
+
+    ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere (CPU
+    tests exercise the same kernel code path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = q.shape[0]
+    n = op.P.shape[0]
+    m = op.A_c.shape[0]
+    f32 = jnp.float32
+    if eps_abs is None:
+        eps_abs = 1e-4
+
+    # scale into equilibrated space (cheap elementwise, stays in XLA)
+    q_s = (op.c * op.D * q).astype(f32)
+    l_s = (op.E * l).astype(f32)
+    u_s = (op.E * u).astype(f32)
+    if warm_x is None:
+        x0 = jnp.zeros((B, n), f32)
+    else:
+        x0 = (warm_x / op.D).astype(f32)
+    if warm_y is None:
+        y0 = jnp.zeros((B, m), f32)
+    else:
+        y0 = (op.c * warm_y / op.E).astype(f32)
+
+    # pad batch to a tile multiple
+    Bp = ((B + tile - 1) // tile) * tile
+    pad = Bp - B
+    if pad:
+        padder = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
+        q_s, l_s, u_s, x0, y0 = map(padder, (q_s, l_s, u_s, x0, y0))
+
+    R = op.rho_levels.shape[0]
+    kernel = functools.partial(
+        _admm_tile_kernel,
+        iters=iters,
+        chunks=chunks,
+        n_levels=R,
+        init_idx=int(R // 2),
+        cg_polish=polish,
+        cg_iters=cg_iters,
+        eps_abs=float(eps_abs),
+    )
+    par = jnp.stack([op.sigma.astype(f32), jnp.asarray(alpha, f32)])[:, None]
+
+    shared = lambda *shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    tiled = lambda cols: pl.BlockSpec(
+        (tile, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    x_s, z_s, y_s = pl.pallas_call(
+        kernel,
+        grid=(Bp // tile,),
+        in_specs=[
+            shared(R, n, n),
+            shared(m, n),
+            shared(n, m),
+            shared(n, n),
+            shared(n, n),
+            shared(m, m),
+            shared(R, 1),
+            shared(2, 1),
+            tiled(n),
+            tiled(m),
+            tiled(m),
+            tiled(n),
+            tiled(m),
+        ],
+        out_specs=[tiled(n), tiled(m), tiled(m)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, n), f32),
+            jax.ShapeDtypeStruct((Bp, m), f32),
+            jax.ShapeDtypeStruct((Bp, m), f32),
+        ],
+        interpret=interpret,
+    )(
+        op.Minv_stack.astype(f32),
+        op.A_s.astype(f32),
+        op.A_s.T.astype(f32),
+        op.P_s.astype(f32),
+        op.Pinv_s.astype(f32),
+        op.S.astype(f32),
+        op.rho_levels.astype(f32)[:, None],
+        par,
+        q_s,
+        l_s,
+        u_s,
+        x0,
+        y0,
+    )
+    if pad:
+        x_s, z_s, y_s = x_s[:B], z_s[:B], y_s[:B]
+
+    dtype = op.P.dtype
+    x = (op.D * x_s).astype(dtype)
+    y = (y_s * op.E / op.c).astype(dtype)
+    z = (z_s / op.E).astype(dtype)
+
+    def finish(x, y, z, q_i, l_i, u_i):
+        rp, rd = _unscaled_residuals(op, x, y, z, q_i)
+        scale = 1.0 + jnp.max(jnp.abs(q_i))
+        conv = jnp.logical_and(rp < eps_abs * scale, rd < eps_abs * scale)
+        return QPSolution(x=x, z=z, y=y, prim_res=rp, dual_res=rd, converged=conv)
+
+    return jax.vmap(finish)(x, y, z, q, l, u)

