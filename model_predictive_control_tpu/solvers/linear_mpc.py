@@ -194,6 +194,37 @@ class LinearMPC:
             jnp.zeros((batch, self.qp.m), dtype=dtype),
         )
 
+    def presolve_batch_carry(
+        self, x_batch, iters_mult: int = 4, backend: str = "pallas", tile: int = 256
+    ):
+        """Warm-start carry from a deeper solve at the initial states.
+
+        Step 0 is the only cold solve in a closed loop — at the fixed per-step
+        iteration budget it converges noticeably less often than warm-started steps
+        (measured 0.72 vs ~1.0 at 100 iterations on session-2). One presolve at
+        ``iters_mult`` times the budget amortizes to nothing over a rollout and
+        lifts step 0 to the warm-started success rate.
+        """
+        import jax
+
+        q, l, u = jax.vmap(self.qp.qp_vectors)(x_batch)
+        B = x_batch.shape[0]
+        warm_x, warm_y = self.initial_batch_carry(B, dtype=q.dtype)
+        if backend == "pallas":
+            from ..ops.pallas.admm_kernel import admm_solve_pallas
+
+            sol = admm_solve_pallas(
+                self.op, q, l, u, warm_x, warm_y,
+                iters=self.iters * iters_mult, tile=tile,
+            )
+        else:
+            sol = jax.vmap(
+                lambda qq, ll, uu: admm_solve(
+                    self.op, qq, ll, uu, iters=self.iters * iters_mult
+                )
+            )(q, l, u)
+        return (sol.x, sol.y)
+
 
 def make_linear_mpc(
     problem: Problem,
