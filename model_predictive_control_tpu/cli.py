@@ -1,0 +1,160 @@
+"""Command-line entry point: ``python -m model_predictive_control_tpu.cli``.
+
+The reference has no CLI — scenario constants are hard-coded in ``main()`` drivers
+(``session_4/main.py:242-248``, SURVEY §5.6). This thin argparse layer exposes the
+five BASELINE.json configs as subcommands, each printing one JSON summary line and
+optionally writing plots/metrics to ``--outdir``:
+
+  session1             LQR horizon sweep + cost-to-go convergence
+  session2 / session3  constrained / relaxed-tracking linear MPC closed loop
+  session4             nonlinear parking MPC (``--variant main|sol``)
+  podscale             batched closed-loop throughput over the device mesh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _add_common(p):
+    p.add_argument("--outdir", default=None, help="write plots/metrics here")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="model_predictive_control_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("session1", help="finite-horizon LQR experiments")
+    p1.add_argument("--steps", type=int, default=30)
+    _add_common(p1)
+
+    for s in (2, 3):
+        ps = sub.add_parser(f"session{s}", help=f"session-{s} linear MPC")
+        ps.add_argument("--horizon", type=int, default=20)
+        ps.add_argument("--steps", type=int, default=60)
+        ps.add_argument("--solver", choices=("admm", "pdip"), default="admm")
+        ps.add_argument("--iters", type=int, default=200)
+        _add_common(ps)
+
+    p4 = sub.add_parser("session4", help="nonlinear parking MPC")
+    p4.add_argument("--variant", choices=("main", "sol"), default="main")
+    p4.add_argument("--steps", type=int, default=None)
+    p4.add_argument("--sqp-iters", type=int, default=15)
+    p4.add_argument("--animate", action="store_true")
+    _add_common(p4)
+
+    pp = sub.add_parser("podscale", help="batched closed-loop throughput")
+    pp.add_argument("--batch", type=int, default=4096)
+    pp.add_argument("--steps", type=int, default=50)
+    pp.add_argument("--horizon", type=int, default=20)
+    pp.add_argument("--iters", type=int, default=100)
+    pp.add_argument(
+        "--backend", choices=("pallas", "xla"), default="pallas",
+        help="pallas = fused VMEM kernel (TPU); xla = vmap reference path",
+    )
+    _add_common(pp)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "session1":
+        from .experiments import session1
+
+        summary = session1.run(outdir=args.outdir, steps=args.steps)
+    elif args.cmd in ("session2", "session3"):
+        from .experiments import session23
+
+        summary = session23.run(
+            session=int(args.cmd[-1]),
+            N=args.horizon,
+            steps=args.steps,
+            outdir=args.outdir,
+            solver=args.solver,
+            iters=args.iters,
+        )
+    elif args.cmd == "session4":
+        from .experiments import session4
+
+        summary = session4.run(
+            variant=args.variant,
+            steps=args.steps,
+            outdir=args.outdir,
+            animate=args.animate,
+            sqp_iters=args.sqp_iters,
+        )
+    elif args.cmd == "podscale":
+        summary = _podscale(args)
+    else:  # pragma: no cover
+        parser.error(f"unknown command {args.cmd}")
+
+    print(json.dumps(summary))
+    return 0
+
+
+def _podscale(args) -> dict:
+    """Batched closed-loop throughput over all local devices (BASELINE config 5
+    at configurable scale; ``bench.py`` runs the fixed 65k headline shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import make_linear_mpc, session2_problem
+    from .control.batch_loop import simulate_batch
+    from .obs.metrics import Timer
+    from .parallel.mesh import DATA_AXIS, batch_sharding, make_mesh
+
+    problem = session2_problem(N=args.horizon)
+    ctrl = jax.jit(
+        lambda: make_linear_mpc(
+            problem, solver="admm", iters=args.iters, dtype=jnp.float32
+        )
+    )()
+    system = problem.system(jnp.float32)
+    policy = ctrl.batched_policy(backend=args.backend)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sharding = batch_sharding(mesh)
+    B = (args.batch // mesh.shape[DATA_AXIS]) * mesh.shape[DATA_AXIS]
+
+    kp, kv = jax.random.split(jax.random.PRNGKey(0))
+    x0s = jax.device_put(
+        jnp.stack(
+            [
+                jax.random.uniform(kp, (B,), minval=-140.0, maxval=-20.0),
+                jax.random.uniform(kv, (B,), minval=-15.0, maxval=24.0),
+            ],
+            axis=1,
+        ).astype(jnp.float32),
+        sharding,
+    )
+
+    def run_batch(x0s):
+        carry = ctrl.presolve_batch_carry(x0s, iters_mult=4, backend=args.backend)
+        res = simulate_batch(x0s, system, args.steps, policy, carry)
+        return res.states[-1], res.logs["solver_success"]
+
+    run_jit = jax.jit(run_batch)
+    out = run_jit(x0s)  # compile + warm
+    jax.block_until_ready(out)
+    with Timer() as t:
+        out = run_jit(x0s)
+        t.fence(out)
+
+    _, success = out
+    solves = B * args.steps
+    return {
+        "metric": "closed_loop_mpc_solves_per_s",
+        "batch": B,
+        "steps": args.steps,
+        "devices": n_dev,
+        "backend": args.backend,
+        "solves_per_s": round(solves / t.elapsed, 1),
+        "success_rate": round(
+            float(jnp.mean(success.astype(jnp.float32))), 4
+        ),
+        "wall_s": round(t.elapsed, 4),
+    }
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,283 @@
+"""Session-4 experiments: nonlinear parking MPC for the kinematic bicycle.
+
+Reproduces the reference exercise drivers (``session4_sol.py:326-496``,
+``session_4/main.py:241-297``) with their scenario constants:
+
+- :func:`integrator_accuracy` ≙ exercise 1 / ``compare_open_loop``
+  (``session4_sol.py:65-104``): Euler/RK4 rollouts under the test policy
+  ``u = (1, 0.1·sin t)`` (``template.py:66-70``) vs a fine-substep RK4 ground
+  truth standing in for ``scipy.odeint`` (``main.py:164-170``).
+- :func:`open_loop_parking` ≙ exercise 3 (``session4_sol.py:340-386``): solve the
+  OCP once (N=50, ts=0.05, no obstacle), replay the plan under an accurate plant.
+- :func:`mismatch_open_loop` ≙ exercise 4 (``session4_sol.py:389-440``): replay
+  the same plan on a plant with ``friction × 0.8`` (``session4_sol.py:410-411``).
+- :func:`closed_loop_parking` ≙ exercise 5 and ``main()``: receding-horizon SQP
+  re-solving each step — the "sol" variant (no obstacle, mismatched plant) and
+  the "main" variant (obstacle at [0.25, 0, 0, 0], N=30, ts=0.08, 100 steps,
+  exact plant integration; ``main.py:242-271``).
+
+:func:`relative_error` fixes the reference's formula (``session4_sol.py:313-318``
+*multiplies* by the norm sum instead of dividing — a bug faithfully copied into
+``template.py:233-238``); we implement the intended relative error.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..control.simulate import open_loop_policy, policy_from_law, rollout, simulate
+from ..models.bicycle import kinematic_bicycle_ode
+from ..models.parameters import VehicleParameters
+from ..ops.integrators import euler, heun, rk4, rk4_fine
+from ..solvers.parking import (
+    NonlinearMPC,
+    Q_MAIN,
+    Q_SOL,
+    QN_SCALE_MAIN,
+    QN_SCALE_SOL,
+    R_MAIN,
+    make_parking_ocp,
+)
+
+# main.py:242-248
+MAIN_X0 = (0.3, -0.1, 0.0, 0.0)
+MAIN_X_OBS = (0.25, 0.0, 0.0, 0.0)
+MAIN_N = 30
+MAIN_TS = 0.08
+MAIN_STEPS = 100
+# session4_sol.py:445-449
+SOL_N = 50
+SOL_TS = 0.05
+SOL_STEPS = 100
+MISMATCH_FRICTION = 0.8  # session4_sol.py:410-411
+
+EXACT_SUBSTEPS = 64  # fine-RK4 "odeint" tier (SURVEY §2 native-equivalents table)
+
+
+def test_policy(ts: float):
+    """``u = (1, 0.1·sin t)`` with t the physical time (``template.py:66-70``)."""
+    return policy_from_law(
+        lambda x, t: jnp.stack([jnp.ones(()), 0.1 * jnp.sin(t * ts)])
+    )
+
+
+def relative_error(a, b) -> np.ndarray:
+    """Per-step relative ∞-norm error ``‖a−b‖∞ / (‖a‖∞ + ‖b‖∞)``.
+
+    The intended semantics of ``rel_error`` (``session4_sol.py:313-318``), with the
+    division the reference accidentally wrote as a multiplication.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    num = np.max(np.abs(a - b), axis=-1)
+    den = np.max(np.abs(a), axis=-1) + np.max(np.abs(b), axis=-1)
+    return num / np.maximum(den, 1e-300)
+
+
+def integrator_accuracy(
+    ts_values=(0.05, 0.1, 0.5),
+    steps: int = 100,
+    params: VehicleParameters | None = None,
+    x0=(0.0, 0.0, 0.0, 0.0),
+    dtype=jnp.float32,
+):
+    """Accuracy sweep: per-step ∞-norm error of each integrator vs the fine-RK4
+    ground truth, per sampling time. Returns ``{ts: {method: (steps,) err}}``."""
+    params = params or VehicleParameters()
+    ode = lambda x, u: kinematic_bicycle_ode(params, x, u)
+    x0 = jnp.asarray(x0, dtype=dtype)
+
+    out = {}
+    for ts in ts_values:
+        policy = test_policy(ts)
+
+        def run(step_fn, policy=policy):
+            return jax.jit(
+                lambda x0: simulate(x0, step_fn, steps=steps, policy=policy).states
+            )(x0)
+
+        truth = run(rk4_fine(ode, ts, substeps=EXACT_SUBSTEPS))
+        errs = {}
+        for name, make in (("euler", euler), ("heun", heun), ("rk4", rk4)):
+            xs = run(make(ode, ts))
+            errs[name] = np.max(
+                np.abs(np.asarray(xs) - np.asarray(truth)), axis=-1
+            )[1:]
+        out[float(ts)] = errs
+    return out
+
+
+def _plant(params: VehicleParameters, ts: float, kind: str):
+    """Plant tiers: "euler" = the prediction model itself, "exact" = fine RK4
+    (the ``odeint`` stand-in, ``main.py:164-170``)."""
+    ode = lambda x, u: kinematic_bicycle_ode(params, x, u)
+    if kind == "euler":
+        return euler(ode, ts)
+    if kind == "exact":
+        return rk4_fine(ode, ts, substeps=EXACT_SUBSTEPS)
+    raise ValueError(f"unknown plant kind {kind!r}")
+
+
+def _solve_plan(
+    params, N, ts, x0, x_obs=None, weights="sol", sqp_iters=25, qp_iters=40,
+    dtype=jnp.float32,
+):
+    Q, qn = (Q_MAIN, QN_SCALE_MAIN) if weights == "main" else (Q_SOL, QN_SCALE_SOL)
+    ocp = make_parking_ocp(
+        params, N=N, ts=ts,
+        x_obs=None if x_obs is None else jnp.asarray(x_obs, dtype=dtype),
+        Q=Q, R=R_MAIN, qn_scale=qn, dtype=dtype,
+    )
+    mpc = NonlinearMPC(ocp, sqp_iters=sqp_iters, qp_iters=qp_iters)
+    sol = jax.jit(mpc.solve)(jnp.asarray(x0, dtype=dtype))
+    return mpc, sol
+
+
+def open_loop_parking(
+    N: int = SOL_N,
+    ts: float = SOL_TS,
+    x0=MAIN_X0,
+    sqp_iters: int = 25,
+    dtype=jnp.float32,
+):
+    """Exercise 3: one OCP solve, plan replayed under prediction-model plant and
+    the accurate plant. Returns ``(u_plan (N, 2), x_pred, x_exact, rel_err)``."""
+    params = VehicleParameters()
+    mpc, sol = _solve_plan(params, N, ts, x0, sqp_iters=sqp_iters, dtype=dtype)
+    u_plan = sol.u.reshape(N, 2)
+    x0 = jnp.asarray(x0, dtype=dtype)
+    x_pred = jax.jit(lambda: rollout(x0, _plant(params, ts, "euler"), u_plan))()
+    x_exact = jax.jit(lambda: rollout(x0, _plant(params, ts, "exact"), u_plan))()
+    return u_plan, x_pred, x_exact, relative_error(x_exact, x_pred)
+
+
+def mismatch_open_loop(
+    N: int = SOL_N,
+    ts: float = SOL_TS,
+    x0=MAIN_X0,
+    friction_scale: float = MISMATCH_FRICTION,
+    sqp_iters: int = 25,
+    dtype=jnp.float32,
+):
+    """Exercise 4: the nominal plan replayed on a plant with perturbed friction.
+    Returns ``(u_plan, x_nominal, x_mismatched, rel_err)``."""
+    params = VehicleParameters()
+    mpc, sol = _solve_plan(params, N, ts, x0, sqp_iters=sqp_iters, dtype=dtype)
+    u_plan = sol.u.reshape(N, 2)
+    x0 = jnp.asarray(x0, dtype=dtype)
+    x_nom = jax.jit(lambda: rollout(x0, _plant(params, ts, "exact"), u_plan))()
+    params_mm = dataclasses.replace(
+        params, friction=params.friction * friction_scale
+    )
+    x_mm = jax.jit(lambda: rollout(x0, _plant(params_mm, ts, "exact"), u_plan))()
+    return u_plan, x_nom, x_mm, relative_error(x_nom, x_mm)
+
+
+def closed_loop_parking(
+    variant: str = "main",
+    steps: int | None = None,
+    mismatch: bool = False,
+    sqp_iters: int = 15,
+    qp_iters: int = 40,
+    dtype=jnp.float32,
+):
+    """Receding-horizon closed loop (exercise 5 / ``main()``).
+
+    ``variant="main"``: obstacle scenario, N=30, ts=0.08, exact plant
+    (``main.py:241-271``). ``variant="sol"``: no obstacle, N=50, ts=0.05
+    (``session4_sol.py:443-465``); ``mismatch=True`` scales the plant friction by
+    0.8 while the controller keeps the nominal model.
+
+    Returns ``(SimResult, NonlinearMPC, params)``.
+    """
+    params = VehicleParameters()
+    if variant == "main":
+        N, ts, x_obs, weights = MAIN_N, MAIN_TS, MAIN_X_OBS, "main"
+        steps = MAIN_STEPS if steps is None else steps
+    elif variant == "sol":
+        N, ts, x_obs, weights = SOL_N, SOL_TS, None, "sol"
+        steps = SOL_STEPS if steps is None else steps
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+
+    Q, qn = (Q_MAIN, QN_SCALE_MAIN) if weights == "main" else (Q_SOL, QN_SCALE_SOL)
+    ocp = make_parking_ocp(
+        params, N=N, ts=ts,
+        x_obs=None if x_obs is None else jnp.asarray(x_obs, dtype=dtype),
+        Q=Q, R=R_MAIN, qn_scale=qn, dtype=dtype,
+    )
+    mpc = NonlinearMPC(ocp, sqp_iters=sqp_iters, qp_iters=qp_iters)
+
+    plant_params = (
+        dataclasses.replace(params, friction=params.friction * MISMATCH_FRICTION)
+        if mismatch
+        else params
+    )
+    plant = _plant(plant_params, ts, "exact")
+
+    run = jax.jit(
+        lambda x0: simulate(
+            x0, plant, steps=steps,
+            policy=mpc.policy(), policy_carry=mpc.initial_carry(dtype),
+        )
+    )
+    res = run(jnp.asarray(MAIN_X0, dtype=dtype))
+    return res, mpc, params
+
+
+def run(
+    variant: str = "main",
+    steps: int | None = None,
+    outdir: str | None = None,
+    animate: bool = False,
+    sqp_iters: int = 15,
+) -> dict:
+    """Driver: closed-loop parking + accuracy sweep summary + plots/animation."""
+    res, mpc, params = closed_loop_parking(
+        variant=variant, steps=steps, sqp_iters=sqp_iters
+    )
+    states = np.asarray(res.states)
+    inputs = np.asarray(res.inputs)
+    summary = {
+        "variant": variant,
+        "steps": int(inputs.shape[0]),
+        "final_pose": [float(v) for v in states[-1]],
+        "final_dist_to_spot": float(np.linalg.norm(states[-1, :2])),
+        "success_rate": float(
+            np.mean(np.asarray(res.logs["solver_success"], dtype=np.float32))
+        ),
+        "kkt_res_max": float(np.max(np.asarray(res.logs["kkt_res"]))),
+    }
+
+    if outdir is not None:
+        import os
+
+        from ..viz import (
+            plot_input_sequence,
+            plot_state_trajectory,
+            plot_states_separately,
+        )
+
+        os.makedirs(outdir, exist_ok=True)
+        ts = MAIN_TS if variant == "main" else SOL_TS
+        tag = f"session4_{variant}"
+        plot_input_sequence(
+            inputs, params, ts=ts, save=os.path.join(outdir, f"{tag}_inputs.png")
+        )
+        plot_state_trajectory(
+            states, params, save=os.path.join(outdir, f"{tag}_traj.png")
+        )
+        plot_states_separately(
+            states, ts=ts, save=os.path.join(outdir, f"{tag}_states.png")
+        )
+        if animate:
+            from ..viz import animate_parking
+
+            animate_parking(
+                states, params, os.path.join(outdir, f"{tag}.gif"), fps=12
+            )
+    return summary

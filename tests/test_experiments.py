@@ -1,0 +1,113 @@
+"""Experiment-driver (L7) tests: the reference's exercise semantics as assertions
+instead of plots (SURVEY.md §4 build-side plan)."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from model_predictive_control_tpu.experiments import (
+    closed_loop_linear_mpc,
+    cost_to_go_comparison,
+    horizon_sweep,
+    integrator_accuracy,
+    mismatch_open_loop,
+    open_loop_parking,
+    relative_error,
+)
+from model_predictive_control_tpu import cli as mpc_cli
+
+
+def test_horizon_sweep_short_horizon_destabilizes():
+    # FHC.py exercise 3: N=4 diverges, N>=10 converges
+    res = horizon_sweep(horizons=(4, 10), steps=30, dtype=jnp.float64)
+    assert res[4]["unstable"] is True
+    assert res[10]["unstable"] is False
+    assert np.linalg.norm(res[10]["states"][-1]) < 1e-2
+    # predictions: (steps, N+1, nx), starting at the closed-loop state
+    preds = np.asarray(res[10]["predictions"])
+    assert preds.shape == (30, 11, 2)
+    np.testing.assert_allclose(
+        preds[:, 0], np.asarray(res[10]["states"][:-1]), rtol=1e-12
+    )
+
+
+def test_cost_to_go_monotone_to_dare():
+    hs, finite, v_inf, K_inf = cost_to_go_comparison(
+        horizons=range(1, 10), dtype=jnp.float64
+    )
+    finite = np.asarray(finite)
+    # finite-horizon cost-to-go with Pf=Q underestimates and converges to V∞
+    assert abs(finite[-1] - v_inf) < abs(finite[0] - v_inf)
+    assert abs(finite[-1] - v_inf) / v_inf < 0.05
+    assert K_inf.shape == (1, 2)
+
+
+def test_closed_loop_linear_mpc_summary():
+    from model_predictive_control_tpu.experiments import session23
+
+    summary = session23.run(session=2, N=10, steps=30, iters=150)
+    assert summary["constraints_respected"]
+    assert summary["success_rate"] > 0.9
+    assert abs(summary["final_state"][0]) < 1.5  # stopped near the wall
+    json.dumps(summary)  # JSON-able
+
+
+def test_integrator_accuracy_ordering():
+    errs = integrator_accuracy(ts_values=(0.1,), steps=40, dtype=jnp.float64)[0.1]
+    # order: euler worst, rk4 best (exercise-1 semantics as an assertion)
+    assert errs["euler"].max() > errs["heun"].max() > errs["rk4"].max()
+    assert errs["rk4"].max() < 1e-5
+
+
+def test_relative_error_formula():
+    a = np.array([[2.0, 0.0], [4.0, 0.0]])
+    b = np.array([[1.0, 0.0], [4.0, 0.0]])
+    err = relative_error(a, b)
+    np.testing.assert_allclose(err, [1.0 / 3.0, 0.0])
+
+
+@pytest.mark.parametrize("fn", [open_loop_parking, mismatch_open_loop])
+def test_open_loop_parking_experiments(fn):
+    u_plan, x_a, x_b, rel = fn(N=12, ts=0.1, sqp_iters=10)
+    assert u_plan.shape == (12, 2)
+    assert x_a.shape == x_b.shape == (13, 4)
+    assert np.all(np.isfinite(rel)) and rel.shape == (13,)
+    # plans respect the input box
+    assert float(jnp.max(jnp.abs(u_plan[:, 0]))) <= 1.0 + 1e-4
+    if fn is mismatch_open_loop:
+        assert rel[1:].max() > 0.0  # mismatch actually diverges the rollout
+
+
+def test_cli_session1_and_session2(tmp_path, capsys):
+    assert mpc_cli.main(["session1", "--steps", "12", "--outdir", str(tmp_path)]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "v_inf" in out1 and (tmp_path / "session1_cost_to_go.png").exists()
+
+    assert (
+        mpc_cli.main(
+            ["session2", "--horizon", "8", "--steps", "15", "--iters", "120"]
+        )
+        == 0
+    )
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["constraints_respected"]
+
+
+def test_cli_podscale_xla_backend(capsys):
+    assert (
+        mpc_cli.main(
+            [
+                "podscale",
+                "--batch", "32",
+                "--steps", "4",
+                "--horizon", "6",
+                "--iters", "40",
+                "--backend", "xla",
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["solves_per_s"] > 0 and out["batch"] == 32
