@@ -19,6 +19,12 @@ import json
 
 def _add_common(p):
     p.add_argument("--outdir", default=None, help="write plots/metrics here")
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (e.g. 'cpu'); this container pins a TPU "
+        "platform via sitecustomize, so the env var alone is not enough",
+    )
 
 
 def main(argv=None) -> int:
@@ -44,6 +50,19 @@ def main(argv=None) -> int:
     p4.add_argument("--animate", action="store_true")
     _add_common(p4)
 
+    pw = sub.add_parser(
+        "sweep", help="nonlinear parking robustness sweep (perturbed plants)"
+    )
+    pw.add_argument("--batch", type=int, default=256)
+    pw.add_argument("--steps", type=int, default=30)
+    pw.add_argument("--horizon", type=int, default=30)
+    pw.add_argument("--rel-scale", type=float, default=0.1)
+    pw.add_argument("--controller-knows", action="store_true")
+    pw.add_argument("--sqp-iters", type=int, default=15)
+    pw.add_argument("--checkpoint", default=None)
+    pw.add_argument("--checkpoint-every", type=int, default=0)
+    _add_common(pw)
+
     pp = sub.add_parser("podscale", help="batched closed-loop throughput")
     pp.add_argument("--batch", type=int, default=4096)
     pp.add_argument("--steps", type=int, default=50)
@@ -56,6 +75,11 @@ def main(argv=None) -> int:
     _add_common(pp)
 
     args = parser.parse_args(argv)
+
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.cmd == "session1":
         from .experiments import session1
@@ -82,6 +106,28 @@ def main(argv=None) -> int:
             animate=args.animate,
             sqp_iters=args.sqp_iters,
         )
+    elif args.cmd == "sweep":
+        from .parallel import make_mesh, parking_sweep
+        from .obs.metrics import Timer
+
+        import jax
+
+        mesh = make_mesh(len(jax.devices()))
+        with Timer() as t:
+            res, summary = parking_sweep(
+                batch=args.batch,
+                steps=args.steps,
+                N=args.horizon,
+                rel_scale=args.rel_scale,
+                controller_knows=args.controller_knows,
+                sqp_iters=args.sqp_iters,
+                mesh=mesh,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
+            )
+            t.fence(res.states)
+        summary["wall_s"] = round(t.elapsed, 3)
+        summary["solves_per_s"] = round(args.batch * args.steps / t.elapsed, 1)
     elif args.cmd == "podscale":
         summary = _podscale(args)
     else:  # pragma: no cover

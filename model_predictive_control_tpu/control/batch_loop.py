@@ -24,18 +24,25 @@ class BatchSimResult:
     states: jnp.ndarray  # (steps + 1, B, nx)
     inputs: jnp.ndarray  # (steps, B, nu)
     logs: Any  # pytree, leaves (steps, ...)
+    final_carry: Any = None  # policy carry after the last step (resume handle)
 
 
 def simulate_batch(
     x0: jnp.ndarray,  # (B, nx)
-    dynamics: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],  # unbatched
+    dynamics: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     steps: int,
     policy: BatchedPolicy,
     policy_carry: Any = (),
+    batched_dynamics: bool = False,
 ) -> BatchSimResult:
-    """Roll a batch of plants forward under a batch-level policy."""
+    """Roll a batch of plants forward under a batch-level policy.
+
+    ``batched_dynamics=True`` means ``dynamics`` already maps (B, nx) × (B, nu) →
+    (B, nx) — e.g. a plant whose parameters carry a scenario axis (the pod-scale
+    parameter-perturbation sweeps); otherwise it is vmapped here.
+    """
     x0 = jnp.asarray(x0)
-    dyn_b = jax.vmap(dynamics)
+    dyn_b = dynamics if batched_dynamics else jax.vmap(dynamics)
 
     def step(carry, t):
         x, pcarry = carry
@@ -43,8 +50,10 @@ def simulate_batch(
         x_next = dyn_b(x, u)
         return (x_next, pcarry), (x_next, u, aux)
 
-    (_, _), (xs, us, logs) = jax.lax.scan(
+    (_, final_carry), (xs, us, logs) = jax.lax.scan(
         step, (x0, policy_carry), jnp.arange(steps)
     )
     states = jnp.concatenate([x0[None], xs], axis=0)
-    return BatchSimResult(states=states, inputs=us, logs=logs)
+    return BatchSimResult(
+        states=states, inputs=us, logs=logs, final_carry=final_carry
+    )

@@ -1,0 +1,35 @@
+"""Scale-out layer: device meshes, scenario-batch sharding, parameter-perturbation
+sweeps, multi-host initialization (SURVEY.md §5.8 — all green-field; the reference
+is single-process single-thread)."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_constraint_sharding,
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from .batch import (
+    batched_parking_policy,
+    batched_plant,
+    initial_warm_carry,
+    parking_sweep,
+    perturb_parameters,
+    random_initial_states,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_constraint_sharding",
+    "batch_sharding",
+    "make_mesh",
+    "replicated",
+    "batched_parking_policy",
+    "batched_plant",
+    "initial_warm_carry",
+    "parking_sweep",
+    "perturb_parameters",
+    "random_initial_states",
+]

@@ -1,0 +1,274 @@
+"""Pod-scale scenario batching: nonlinear parking MPC over randomized initial
+states × perturbed plant parameters (BASELINE config 5).
+
+The reference's robustness axis is a single hand-coded mismatch — exercise 5
+rebuilds the plant with ``friction *= 0.8`` and re-simulates once
+(``session4_sol.py:410-411, 461-465``). Here that axis is *batched*: a
+:class:`~..models.parameters.VehicleParameters` whose leaves carry a scenario
+dimension, a plant vmapped over those leaves, and a receding-horizon SQP
+controller solved per scenario — all inside one jitted scan, shardable over a
+device mesh on the data axis.
+
+Design note (TPU): the controller OCP is rebuilt *inside* the vmapped solve when
+per-scenario model parameters are requested (``controller_knows=True``) — OCP
+construction is pure tracing, so "rebuilding" costs nothing at runtime; XLA sees
+one batched program either way. With ``controller_knows=False`` (default) the
+controller keeps the nominal model and only the plant is perturbed — the
+reference's mismatch semantics, generalized from 1 scenario to 65k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..control.batch_loop import BatchSimResult, simulate_batch
+from ..models.bicycle import NU, kinematic_bicycle_ode
+from ..models.parameters import VehicleParameters
+from ..ops.integrators import rk4_fine
+from ..solvers.parking import (
+    Q_MAIN,
+    QN_SCALE_MAIN,
+    R_MAIN,
+    make_parking_ocp,
+)
+from ..solvers.sqp import sqp_solve
+from .mesh import batch_sharding
+
+# fields whose perturbation is physically meaningful for the kinematic model
+DEFAULT_PERTURB_FIELDS = ("friction", "acceleration")
+
+
+def perturb_parameters(
+    key,
+    base: VehicleParameters,
+    batch: int,
+    rel_scale: float = 0.1,
+    fields=DEFAULT_PERTURB_FIELDS,
+    dtype=jnp.float32,
+) -> VehicleParameters:
+    """Batched parameters: each named field drawn uniformly in
+    ``base ± rel_scale·|base|`` per scenario; other fields broadcast unchanged.
+
+    Returns a ``VehicleParameters`` whose perturbed leaves have shape ``(batch,)``
+    — vmap/shard it on axis 0 like any pytree.
+    """
+    updates = {}
+    for i, name in enumerate(fields):
+        sub = jax.random.fold_in(key, i)
+        v = float(getattr(base, name))
+        lo, hi = v - rel_scale * abs(v), v + rel_scale * abs(v)
+        updates[name] = jax.random.uniform(
+            sub, (batch,), minval=lo, maxval=hi, dtype=dtype
+        )
+    return dataclasses.replace(base, **updates)
+
+
+def random_initial_states(
+    key, batch: int, center=(0.3, -0.1, 0.0, 0.0), spread=(0.2, 0.15, 0.3, 0.05),
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(batch, 4) initial poses around the session-4 start (``main.py:243``)."""
+    center = jnp.asarray(center, dtype=dtype)
+    spread = jnp.asarray(spread, dtype=dtype)
+    u = jax.random.uniform(key, (batch, 4), minval=-1.0, maxval=1.0, dtype=dtype)
+    return center + u * spread
+
+
+def batched_parking_policy(
+    model_params: VehicleParameters,
+    N: int,
+    ts: float,
+    x_obs=None,
+    Q=Q_MAIN,
+    R=R_MAIN,
+    qn_scale: float = QN_SCALE_MAIN,
+    sqp_iters: int = 15,
+    qp_iters: int = 40,
+    dtype=jnp.float32,
+):
+    """Batch-level receding-horizon SQP policy for :func:`simulate_batch`.
+
+    ``model_params`` leaves may be scalars (shared nominal model) or carry a
+    leading scenario axis (per-scenario model). Carry = warm-start control
+    trajectories ``(B, N·nu)``.
+    """
+    x_obs = None if x_obs is None else jnp.asarray(x_obs, dtype=dtype)
+    batched_model = any(
+        jnp.ndim(leaf) > 0 for leaf in jax.tree.leaves(model_params)
+    )
+
+    def solve_one(params, x, u_warm):
+        ocp = make_parking_ocp(
+            params, N=N, ts=ts, x_obs=x_obs, Q=Q, R=R, qn_scale=qn_scale,
+            dtype=dtype,
+        )
+        sol = sqp_solve(ocp, x, u_init=u_warm, iters=sqp_iters, qp_iters=qp_iters)
+        u_traj = sol.u.reshape(N, NU)
+        u_next_warm = jnp.concatenate([sol.u[NU:], sol.u[-NU:]])
+        aux = {
+            "solver_success": sol.converged,
+            "kkt_res": sol.kkt_res,
+            "viol": sol.viol,
+        }
+        return u_traj[0], u_next_warm, aux
+
+    if batched_model:
+        axes = jax.tree.map(
+            lambda l: 0 if jnp.ndim(l) > 0 else None, model_params
+        )
+        solve_b = jax.vmap(solve_one, in_axes=(axes, 0, 0))
+    else:
+        solve_b = jax.vmap(lambda x, w: solve_one(model_params, x, w))
+
+    def policy(x_batch, t, carry):
+        if batched_model:
+            u0, warm, aux = solve_b(model_params, x_batch, carry)
+        else:
+            u0, warm, aux = solve_b(x_batch, carry)
+        return u0, warm, aux
+
+    return policy
+
+
+def initial_warm_carry(batch: int, N: int, dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.zeros((batch, N * NU), dtype=dtype)
+
+
+def batched_plant(plant_params: VehicleParameters, ts: float, substeps: int = 16):
+    """(B, nx) × (B, nu) → (B, nx) plant with per-scenario parameters (fine-RK4
+    "exact" tier, the odeint stand-in)."""
+
+    def step_one(params, x, u):
+        f = lambda xx, uu: kinematic_bicycle_ode(params, xx, uu)
+        return rk4_fine(f, ts, substeps=substeps)(x, u)
+
+    if any(jnp.ndim(l) > 0 for l in jax.tree.leaves(plant_params)):
+        # broadcast scalar leaves, map batched ones
+        axes = jax.tree.map(
+            lambda l: 0 if jnp.ndim(l) > 0 else None, plant_params
+        )
+        step_b = jax.vmap(step_one, in_axes=(axes, 0, 0))
+        return lambda x, u: step_b(plant_params, x, u)
+    return jax.vmap(lambda x, u: step_one(plant_params, x, u))
+
+
+def parking_sweep(
+    batch: int,
+    steps: int,
+    key=None,
+    N: int = 30,
+    ts: float = 0.08,
+    x_obs=(0.25, 0.0, 0.0, 0.0),
+    rel_scale: float = 0.1,
+    perturb_fields=DEFAULT_PERTURB_FIELDS,
+    controller_knows: bool = False,
+    sqp_iters: int = 15,
+    qp_iters: int = 40,
+    plant_substeps: int = 16,
+    mesh=None,
+    dtype=jnp.float32,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+) -> tuple[BatchSimResult, dict]:
+    """The pod-scale robustness sweep: ``batch`` scenarios (randomized x0 ×
+    perturbed plant), closed-loop obstacle parking, one jitted scan per segment.
+
+    ``mesh``: optional device mesh — inputs are placed with the scenario axis
+    sharded over the data axis (ICI/DCN); the per-scenario solves are
+    embarrassingly parallel so cross-device traffic is metrics-only.
+
+    ``checkpoint_every > 0``: run in segments of that many steps, persisting
+    ``(plant states, warm carry)`` via :mod:`..obs.checkpoint` after each — if
+    ``checkpoint_path`` exists, the sweep resumes from it deterministically.
+
+    Returns ``(BatchSimResult, summary)``.
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_par, k_x0 = jax.random.split(key)
+
+    base = VehicleParameters()
+    plant_params = perturb_parameters(
+        k_par, base, batch, rel_scale=rel_scale, fields=perturb_fields, dtype=dtype
+    )
+    model_params = plant_params if controller_knows else base
+    x0s = random_initial_states(k_x0, batch, dtype=dtype)
+
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        x0s = jax.device_put(x0s, sh)
+        plant_params = jax.tree.map(
+            lambda l: jax.device_put(l, sh) if jnp.ndim(l) > 0 else l,
+            plant_params,
+        )
+
+    policy = batched_parking_policy(
+        model_params, N=N, ts=ts, x_obs=x_obs,
+        sqp_iters=sqp_iters, qp_iters=qp_iters, dtype=dtype,
+    )
+    plant = batched_plant(plant_params, ts, substeps=plant_substeps)
+
+    def segment(x0s, carry, n_steps):
+        return simulate_batch(
+            x0s, plant, n_steps, policy, carry, batched_dynamics=True
+        )
+
+    carry0 = initial_warm_carry(batch, N, dtype=dtype)
+
+    if checkpoint_every <= 0:
+        res = jax.jit(segment, static_argnums=2)(x0s, carry0, steps)
+    else:
+        import os
+
+        from ..obs.checkpoint import load_sweep_state, save_sweep_state
+
+        start, x_cur, carry = 0, x0s, carry0
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            start, (x_cur, carry) = load_sweep_state(
+                checkpoint_path, (x0s, carry0)
+            )
+            x_cur = jnp.asarray(x_cur, dtype=dtype)
+            carry = jnp.asarray(carry, dtype=dtype)
+        seg_fn = jax.jit(segment, static_argnums=2)
+        pieces = []
+        step_i = start
+        x_start = x_cur  # resumed runs return only the remaining segments
+        while step_i < steps:
+            n = min(checkpoint_every, steps - step_i)
+            res_i = seg_fn(x_cur, carry, n)
+            pieces.append(res_i)
+            x_cur = res_i.states[-1]
+            carry = res_i.final_carry
+            step_i += n
+            if checkpoint_path is not None:
+                save_sweep_state(checkpoint_path, step_i, (x_cur, carry))
+        res = _concat_results(pieces, x_start, carry)
+
+    success = res.logs["solver_success"]
+    dist = jnp.linalg.norm(res.states[-1][:, :2], axis=-1)
+    summary = {
+        "batch": int(batch),
+        "steps": int(steps),
+        "success_rate": float(jnp.mean(success.astype(jnp.float32))),
+        "median_final_dist": float(jnp.median(dist)),
+        "parked_frac_5cm": float(jnp.mean((dist < 0.05).astype(jnp.float32))),
+        "controller_knows": bool(controller_knows),
+        "rel_scale": float(rel_scale),
+    }
+    return res, summary
+
+
+def _concat_results(pieces, x0s, final_carry):
+    states = jnp.concatenate(
+        [x0s[None]] + [p.states[1:] for p in pieces], axis=0
+    )
+    inputs = jnp.concatenate([p.inputs for p in pieces], axis=0)
+    logs = jax.tree.map(
+        lambda *ls: jnp.concatenate(ls, axis=0), *[p.logs for p in pieces]
+    )
+    return BatchSimResult(
+        states=states, inputs=inputs, logs=logs, final_carry=final_carry
+    )

@@ -1,0 +1,116 @@
+"""Pod-scale parameter-perturbation sweep tests (BASELINE config 5 semantics at
+tiny sizes, on the 8-virtual-device CPU mesh from conftest)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from model_predictive_control_tpu.parallel import (
+    batched_parking_policy,
+    batched_plant,
+    initial_warm_carry,
+    make_mesh,
+    parking_sweep,
+    perturb_parameters,
+    random_initial_states,
+)
+from model_predictive_control_tpu.models.parameters import VehicleParameters
+
+TINY = dict(N=6, ts=0.1, sqp_iters=6, qp_iters=20, plant_substeps=4)
+
+
+def test_perturb_parameters_shapes_and_bounds():
+    base = VehicleParameters()
+    p = perturb_parameters(jax.random.PRNGKey(0), base, 16, rel_scale=0.2)
+    assert p.friction.shape == (16,) and p.acceleration.shape == (16,)
+    assert isinstance(p.length, float)  # unperturbed fields stay scalar
+    assert float(jnp.min(p.friction)) >= 0.8 - 1e-6
+    assert float(jnp.max(p.friction)) <= 1.2 + 1e-6
+    # perturbations actually vary
+    assert float(jnp.std(p.friction)) > 0.0
+
+
+def test_batched_plant_matches_per_scenario():
+    base = VehicleParameters()
+    params_b = perturb_parameters(jax.random.PRNGKey(1), base, 4, rel_scale=0.3)
+    plant = batched_plant(params_b, ts=0.1, substeps=4)
+    x = random_initial_states(jax.random.PRNGKey(2), 4, dtype=jnp.float64)
+    u = jnp.tile(jnp.asarray([0.5, 0.1], jnp.float64), (4, 1))
+    out = plant(x, u)
+    assert out.shape == (4, 4)
+    # scenario 0 vs manually-substituted scalar params
+    import dataclasses
+
+    from model_predictive_control_tpu.models.bicycle import kinematic_bicycle_ode
+    from model_predictive_control_tpu.ops.integrators import rk4_fine
+
+    p0 = dataclasses.replace(
+        base,
+        friction=float(params_b.friction[0]),
+        acceleration=float(params_b.acceleration[0]),
+    )
+    f = lambda xx, uu: kinematic_bicycle_ode(p0, xx, uu)
+    ref = rk4_fine(f, 0.1, substeps=4)(x[0], u[0])
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), rtol=1e-10)
+
+
+def test_parking_sweep_mesh_sharded():
+    mesh = make_mesh(8)
+    res, summary = parking_sweep(
+        batch=16, steps=3, mesh=mesh, rel_scale=0.15, dtype=jnp.float64, **TINY
+    )
+    assert res.states.shape == (4, 16, 4)
+    assert 0.0 <= summary["success_rate"] <= 1.0
+    assert np.all(np.isfinite(np.asarray(res.states)))
+    # the sweep actually diversifies trajectories across scenarios
+    finals = np.asarray(res.states[-1])
+    assert np.std(finals[:, 0]) > 0.0
+
+
+def test_parking_sweep_controller_knows_uses_per_scenario_model():
+    resA, _ = parking_sweep(
+        batch=6, steps=2, rel_scale=0.5, controller_knows=False,
+        dtype=jnp.float64, **TINY,
+    )
+    resB, _ = parking_sweep(
+        batch=6, steps=2, rel_scale=0.5, controller_knows=True,
+        dtype=jnp.float64, **TINY,
+    )
+    # same plants, different controller models → different inputs
+    assert not np.allclose(np.asarray(resA.inputs), np.asarray(resB.inputs))
+
+
+def test_parking_sweep_checkpoint_resume_bitexact(tmp_path):
+    ckpt = str(tmp_path / "sweep.npz")
+    kwargs = dict(batch=8, steps=4, rel_scale=0.1, dtype=jnp.float64, **TINY)
+
+    # uninterrupted run (segmented, checkpointing along the way)
+    res_full, _ = parking_sweep(
+        checkpoint_path=ckpt, checkpoint_every=2, **kwargs
+    )
+    assert os.path.exists(ckpt)
+
+    # simulate a crash after the first segment: rewrite ckpt at step 2, resume
+    from model_predictive_control_tpu.obs.checkpoint import save_sweep_state
+
+    save_sweep_state(
+        ckpt, 2, (res_full.states[2], _mid_carry(res_full, kwargs))
+    )
+    res_resumed, _ = parking_sweep(
+        checkpoint_path=ckpt, checkpoint_every=2, **kwargs
+    )
+    # resumed segment reproduces the tail of the uninterrupted run exactly
+    np.testing.assert_array_equal(
+        np.asarray(res_resumed.states[-1]), np.asarray(res_full.states[-1])
+    )
+
+
+def _mid_carry(res_full, kwargs):
+    """Reconstruct the step-2 warm carry by re-running the first segment."""
+    res_seg, _ = parking_sweep(
+        checkpoint_path=None, checkpoint_every=0,
+        **{**kwargs, "steps": 2},
+    )
+    return res_seg.final_carry
