@@ -10,6 +10,13 @@ from .mesh import (
     make_mesh,
     replicated,
 )
+from .distributed import (
+    global_mesh,
+    initialize,
+    make_global_batch,
+    process_batch_slice,
+    scaling_efficiency,
+)
 from .batch import (
     batched_parking_policy,
     batched_plant,
@@ -26,6 +33,11 @@ __all__ = [
     "batch_sharding",
     "make_mesh",
     "replicated",
+    "global_mesh",
+    "initialize",
+    "make_global_batch",
+    "process_batch_slice",
+    "scaling_efficiency",
     "batched_parking_policy",
     "batched_plant",
     "initial_warm_carry",
