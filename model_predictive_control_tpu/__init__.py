@@ -20,6 +20,11 @@ from .models.parameters import VehicleParameters
 from .models.bicycle import KinematicBicycle, kinematic_bicycle_ode
 from .ops.integrators import euler, heun, rk4, rk4_fine, get_integrator
 from .ops.riccati import riccati_recursion, dare_sda, dare_residual, lqr_gain
+from .ops.parallel_horizon import (
+    affine_rollout_parallel,
+    riccati_recursion_parallel,
+    rollout_parallel,
+)
 from .control.simulate import (
     SimResult,
     simulate,
