@@ -17,7 +17,12 @@ from .models.linear import (
     session2_dynamics,
 )
 from .models.parameters import VehicleParameters
-from .models.bicycle import KinematicBicycle, kinematic_bicycle_ode
+from .models.bicycle import (
+    DynamicBicycle,
+    KinematicBicycle,
+    dynamic_bicycle_ode,
+    kinematic_bicycle_ode,
+)
 from .ops.integrators import euler, heun, rk4, rk4_fine, get_integrator
 from .ops.riccati import riccati_recursion, dare_sda, dare_residual, lqr_gain
 from .ops.parallel_horizon import (

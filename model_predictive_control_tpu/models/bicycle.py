@@ -1,4 +1,4 @@
-"""Kinematic bicycle model for the parking problem (session 4).
+"""Bicycle models for the parking problem (session 4): kinematic + dynamic tiers.
 
 The reference outsources this model to the course-provided (gitignored, unavailable)
 ``rcracers.simulator.dynamics.KinematicBicycle`` — used symbolically at
@@ -64,6 +64,80 @@ def kinematic_bicycle_ode(
     v_dot = params.acceleration * a - params.friction * v
 
     return jnp.stack([px_dot, py_dot, psi_dot, v_dot], axis=-1)
+
+
+NX_DYNAMIC = 6  # (p_x, p_y, psi, v_x, v_y, omega)
+
+
+def dynamic_bicycle_ode(
+    params: VehicleParameters, x: jnp.ndarray, u: jnp.ndarray
+) -> jnp.ndarray:
+    """Dynamic single-track (Pacejka) bicycle ``f(x, u) -> ẋ``.
+
+    The reference's parameter set carries full Magic-Formula tire coefficients
+    (``bf/cf/df``, ``br/cr/dr``) and motor constants (``cm1/cm2/cr1/cr2``) at
+    ``session_4/parameters.py:24-43`` even though its exercises only drive the
+    kinematic approximation — the course simulator's dynamic tier. This model
+    completes that parameter surface with the standard miniature-race-car dynamic
+    bicycle (Pacejka lateral forces, duty-cycle motor longitudinal force):
+
+        α_f = δ − atan2(ω l_f + v_y, v_x)        (front slip angle)
+        α_r =     atan2(ω l_r − v_y, v_x)        (rear slip angle)
+        F_f = d_f sin(c_f atan(b_f α_f)),  F_r = d_r sin(c_r atan(b_r α_r))
+        F_x = (cm1 − cm2 v_x) a − cr2 v_x² − cr1 tanh(v_x / 0.01)
+
+        ṗx = v_x cos ψ − v_y sin ψ,   ṗy = v_x sin ψ + v_y cos ψ,   ψ̇ = ω
+        v̇x = (F_x − F_f sin δ) / m + v_y ω
+        v̇y = (F_r + F_f cos δ) / m − v_x ω
+        ω̇  = (F_f l_f cos δ − F_r l_r) / I_z
+
+    (rolling resistance smoothed by ``tanh`` so the model is C¹ at rest and valid
+    in reverse). State ``(p_x, p_y, ψ, v_x, v_y, ω)``, input ``(a, δ)`` with the
+    same limits as the kinematic tier. Slip angles lose meaning as ``v_x → 0``;
+    below walking pace prefer :func:`kinematic_bicycle_ode`.
+    """
+    psi = x[..., 2]
+    vx = x[..., 3]
+    vy = x[..., 4]
+    omega = x[..., 5]
+    a = u[..., 0]
+    delta = u[..., 1]
+
+    lf = params.axis_front
+    lr = params.axis_rear
+    m = params.mass
+    iz = params.inertia
+
+    alpha_f = delta - jnp.arctan2(omega * lf + vy, vx)
+    alpha_r = jnp.arctan2(omega * lr - vy, vx)
+    F_f = params.df * jnp.sin(params.cf * jnp.arctan(params.bf * alpha_f))
+    F_r = params.dr * jnp.sin(params.cr * jnp.arctan(params.br * alpha_r))
+    F_x = (
+        (params.cm1 - params.cm2 * vx) * a
+        - params.cr2 * vx * vx
+        - params.cr1 * jnp.tanh(vx / 0.01)
+    )
+
+    px_dot = vx * jnp.cos(psi) - vy * jnp.sin(psi)
+    py_dot = vx * jnp.sin(psi) + vy * jnp.cos(psi)
+    vx_dot = (F_x - F_f * jnp.sin(delta)) / m + vy * omega
+    vy_dot = (F_r + F_f * jnp.cos(delta)) / m - vx * omega
+    omega_dot = (F_f * lf * jnp.cos(delta) - F_r * lr) / iz
+
+    return jnp.stack(
+        [px_dot, py_dot, omega * jnp.ones_like(psi), vx_dot, vy_dot, omega_dot],
+        axis=-1,
+    )
+
+
+class DynamicBicycle:
+    """Callable Pacejka single-track ODE bound to a parameter set."""
+
+    def __init__(self, params: VehicleParameters | None = None):
+        self.params = params if params is not None else VehicleParameters()
+
+    def __call__(self, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        return dynamic_bicycle_ode(self.params, x, u)
 
 
 class KinematicBicycle:
