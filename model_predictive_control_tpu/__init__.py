@@ -45,7 +45,13 @@ from .solvers.lqr import (
     prediction_policy,
     cost_to_go,
 )
-from .ops.condensed import CondensedQP, build_condensed_qp, prediction_matrices
+from .ops.condensed import (
+    CondensedQP,
+    SoftCondensedQP,
+    build_condensed_qp,
+    prediction_matrices,
+    soften_condensed_qp,
+)
 from .solvers.qp import (
     QPOperator,
     QPSolution,

@@ -84,6 +84,112 @@ class CondensedQP:
         return (self.Phi @ x0 + self.Gamma @ u_flat).reshape(self.N, self.nx)
 
 
+@pytree_dataclass
+class SoftCondensedQP:
+    """Slack-softened condensed MPC QP: state boxes become soft constraints.
+
+    Session 3 exists because session 2's problem data goes *infeasible* in closed
+    loop (brake too late and no input satisfies the position bound) — the reference
+    hand-relaxes the bounds (``session_3/problem.py:15,17``). This is the principled
+    version: decision variables ``z = [ū; s]`` with one slack ``s_k ≥ 0`` per state
+    component per stage and cost ``+ w‖s‖² + γ·1ᵀs``,
+
+        l_u ≤ ū ≤ u_u,   Γū − s ≤ x_ub − Φx0,   Γū + s ≥ x_lb − Φx0,   s ≥ 0
+
+    so the QP is feasible for every measured state and the controller degrades
+    gracefully instead of failing. With ``γ`` larger than the hard problem's
+    constraint multipliers the ℓ1 term is an exact penalty: slacks are exactly zero
+    whenever the hard problem is feasible, and the soft solution coincides with it.
+
+    Duck-types the :class:`CondensedQP` per-solve interface (``n``/``m``/
+    ``qp_vectors``/``predict_states``) so solvers and the fused Pallas kernel work
+    unchanged on the extended variables.
+    """
+
+    P: jnp.ndarray  # (n2, n2) blkdiag(P_hard, 2w I)
+    A_c: jnp.ndarray  # (m2, n2)
+    base: CondensedQP
+    slack_linear: jnp.ndarray  # () γ
+
+    @property
+    def N(self) -> int:
+        return self.base.N
+
+    @property
+    def nx(self) -> int:
+        return self.base.nx
+
+    @property
+    def nu(self) -> int:
+        return self.base.nu
+
+    @property
+    def n_inputs(self) -> int:
+        return self.base.n
+
+    @property
+    def n_slack(self) -> int:
+        return self.base.N * self.base.nx
+
+    @property
+    def n(self) -> int:
+        return self.n_inputs + self.n_slack
+
+    @property
+    def m(self) -> int:
+        return self.n_inputs + 3 * self.n_slack
+
+    @solver_precision
+    def qp_vectors(
+        self, x0: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        b = self.base
+        shift = b.Phi @ x0
+        q_u = b.q_x0 @ x0 + b.q_const
+        dtype = q_u.dtype
+        ns = self.n_slack
+        inf = jnp.full(ns, jnp.inf, dtype=dtype)
+        q = jnp.concatenate([q_u, jnp.full(ns, self.slack_linear, dtype=dtype)])
+        l = jnp.concatenate([b.u_lb, -inf, b.x_lb - shift, jnp.zeros(ns, dtype)])
+        u = jnp.concatenate([b.u_ub, b.x_ub - shift, inf, inf])
+        return q, l, u
+
+    @solver_precision
+    def predict_states(self, x0: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        return self.base.predict_states(x0, z[: self.n_inputs])
+
+
+def soften_condensed_qp(
+    cqp: CondensedQP,
+    slack_weight: float = 100.0,
+    slack_linear: float = 1.0,
+) -> SoftCondensedQP:
+    """Extend a hard condensed QP with per-stage state-constraint slacks."""
+    dtype = cqp.P.dtype
+    n, ns = cqp.n, cqp.N * cqp.nx
+    Z = jnp.zeros((n, ns), dtype=dtype)
+    P = jnp.block(
+        [[cqp.P, Z], [Z.T, 2.0 * slack_weight * jnp.eye(ns, dtype=dtype)]]
+    )
+    I_n = jnp.eye(n, dtype=dtype)
+    I_s = jnp.eye(ns, dtype=dtype)
+    Zm = jnp.zeros((ns, n), dtype=dtype)
+    A_c = jnp.block(
+        [
+            [I_n, Z],           # input box
+            [cqp.Gamma, -I_s],  # Γū − s ≤ x_ub − Φx0
+            [cqp.Gamma, I_s],   # Γū + s ≥ x_lb − Φx0
+            [Zm, I_s],          # s ≥ 0
+        ]
+    )
+    return SoftCondensedQP(
+        P=P,
+        A_c=A_c,
+        base=cqp,
+        slack_linear=jnp.asarray(slack_linear, dtype=dtype),
+    )
+
+
 def prediction_matrices(
     A: jnp.ndarray, B: jnp.ndarray, N: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -11,10 +11,16 @@ box-QP solve per step, and a policy whose per-step aux reproduces the
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..models.linear import LinearSystem
-from ..ops.condensed import CondensedQP, build_condensed_qp
+from ..ops.condensed import (
+    CondensedQP,
+    SoftCondensedQP,
+    build_condensed_qp,
+    soften_condensed_qp,
+)
 from ..utils.pytree import pytree_dataclass, static_field
 from ..control.simulate import Policy
 from .qp import QPOperator, admm_solve, pdip_solve, qp_setup
@@ -74,15 +80,64 @@ class LinearMPC:
     pattern (``session_4/main.py:35-39,115-116``).
     """
 
-    qp: CondensedQP
+    qp: CondensedQP | SoftCondensedQP
     op: QPOperator
     terminal_P: jnp.ndarray | None  # optional DARE-based terminal weight record
     solver: str = static_field(default="admm")
     iters: int = static_field(default=200)
+    soft: bool = static_field(default=False)
 
     @property
     def N(self) -> int:
         return self.qp.N
+
+    def _shift_warm(self, x, y, axis: int = 0):
+        """Shift a QP warm start one stage (repeat last primal block, zero-pad
+        the freed dual rows). Handles both the hard layout ``[ū | (in, st)]``
+        and the soft layout ``[ū, s | (in, up, lo, sl)]``."""
+        nu, nx, N = self.qp.nu, self.qp.nx, self.qp.N
+
+        def roll(v, d, repeat):
+            head = jax.lax.slice_in_dim(v, d, v.shape[axis], axis=axis)
+            tailsrc = (
+                jax.lax.slice_in_dim(v, v.shape[axis] - d, v.shape[axis], axis=axis)
+                if repeat
+                else jnp.zeros_like(
+                    jax.lax.slice_in_dim(v, 0, d, axis=axis)
+                )
+            )
+            return jnp.concatenate([head, tailsrc], axis=axis)
+
+        def split(v, sizes):
+            out, start = [], 0
+            for s in sizes:
+                out.append(jax.lax.slice_in_dim(v, start, start + s, axis=axis))
+                start += s
+            return out
+
+        if not self.soft:
+            x_warm = roll(x, nu, repeat=True)
+            y_in, y_st = split(y, (N * nu, N * nx))
+            y_warm = jnp.concatenate(
+                [roll(y_in, nu, False), roll(y_st, nx, False)], axis=axis
+            )
+        else:
+            ns = N * nx
+            z_u, z_s = split(x, (N * nu, ns))
+            x_warm = jnp.concatenate(
+                [roll(z_u, nu, True), roll(z_s, nx, True)], axis=axis
+            )
+            y_in, y_up, y_lo, y_sl = split(y, (N * nu, ns, ns, ns))
+            y_warm = jnp.concatenate(
+                [
+                    roll(y_in, nu, False),
+                    roll(y_up, nx, False),
+                    roll(y_lo, nx, False),
+                    roll(y_sl, nx, False),
+                ],
+                axis=axis,
+            )
+        return x_warm, y_warm
 
     def solve(self, x0: jnp.ndarray, warm: tuple | None = None):
         """Solve the MPC QP at measured state ``x0``.
@@ -97,7 +152,7 @@ class LinearMPC:
             sol = pdip_solve(self.op, q, l, u, iters=self.iters)
         else:
             raise ValueError(f"unknown solver {self.solver!r}")
-        u_traj = sol.x.reshape(self.qp.N, self.qp.nu)
+        u_traj = sol.x[: self.qp.N * self.qp.nu].reshape(self.qp.N, self.qp.nu)
         return u_traj, sol
 
     def policy(self) -> Policy:
@@ -116,15 +171,7 @@ class LinearMPC:
             u_traj, sol = self.solve(x, warm=warm)
             x_pred = self.qp.predict_states(x, sol.x)
             # shift warm start by one stage (repeat last input block / dual blocks)
-            x_warm = jnp.concatenate([sol.x[nu:], sol.x[-nu:]])
-            y_in = sol.y[: N * nu]
-            y_st = sol.y[N * nu :]
-            y_warm = jnp.concatenate(
-                [
-                    jnp.concatenate([y_in[nu:], jnp.zeros(nu, sol.y.dtype)]),
-                    jnp.concatenate([y_st[nx:], jnp.zeros(nx, sol.y.dtype)]),
-                ]
-            )
+            x_warm, y_warm = self._shift_warm(sol.x, sol.y)
             aux = {
                 "solver_success": sol.converged,
                 "state_prediction": x_pred,
@@ -132,6 +179,8 @@ class LinearMPC:
                 "prim_res": sol.prim_res,
                 "dual_res": sol.dual_res,
             }
+            if self.soft:
+                aux["max_slack"] = jnp.max(sol.x[N * nu :])
             return u_traj[0], (x_warm, y_warm), aux
 
         return policy_fn
@@ -171,19 +220,14 @@ class LinearMPC:
             else:
                 raise ValueError(f"unknown backend {backend!r}")
             u0 = sol.x[:, :nu]
-            x_warm = jnp.concatenate([sol.x[:, nu:], sol.x[:, -nu:]], axis=1)
-            y_in = sol.y[:, : N * nu]
-            y_st = sol.y[:, N * nu :]
-            zeros_u = jnp.zeros((sol.y.shape[0], nu), sol.y.dtype)
-            zeros_x = jnp.zeros((sol.y.shape[0], nx), sol.y.dtype)
-            y_warm = jnp.concatenate(
-                [y_in[:, nu:], zeros_u, y_st[:, nx:], zeros_x], axis=1
-            )
+            x_warm, y_warm = self._shift_warm(sol.x, sol.y, axis=1)
             aux = {
                 "solver_success": sol.converged,
                 "prim_res": sol.prim_res,
                 "dual_res": sol.dual_res,
             }
+            if self.soft:
+                aux["max_slack"] = jnp.max(sol.x[:, N * nu :], axis=1)
             return u0, (x_warm, y_warm), aux
 
         return policy_fn
@@ -234,12 +278,21 @@ def make_linear_mpc(
     terminal: str = "Q",
     x_ref=None,
     rho: float = 0.1,
+    soft_state: bool = False,
+    slack_weight: float = 100.0,
+    slack_linear: float = 1.0,
 ) -> LinearMPC:
     """Build a :class:`LinearMPC` from session-2/3 problem data.
 
     ``terminal``: "Q" uses QN = Q (plain), "dare" uses the infinite-horizon Riccati
     solution as terminal cost (the session-3 "terminal cost/set" upgrade, giving
     stability margins at short horizons).
+
+    ``soft_state=True`` softens the state boxes with per-stage slacks (quadratic
+    weight ``slack_weight`` + ℓ1 weight ``slack_linear``): the QP stays feasible at
+    every measured state, so the controller degrades gracefully where the hard
+    problem has no solution — the principled form of session 3's hand-relaxed
+    bounds (``session_3/problem.py:15,17``).
     """
     sys = problem.system(dtype)
     Q = jnp.diag(jnp.asarray(problem.Q, dtype=dtype))
@@ -267,7 +320,16 @@ def make_linear_mpc(
         x_max=jnp.asarray([problem.p_max, problem.v_max], dtype=dtype),
         x_ref=x_ref,
     )
+    if soft_state:
+        qp = soften_condensed_qp(
+            qp, slack_weight=slack_weight, slack_linear=slack_linear
+        )
     op = qp_setup(qp.P, qp.A_c, rho=rho)
     return LinearMPC(
-        qp=qp, op=op, terminal_P=terminal_P, solver=solver, iters=iters
+        qp=qp,
+        op=op,
+        terminal_P=terminal_P,
+        solver=solver,
+        iters=iters,
+        soft=soft_state,
     )
