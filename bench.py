@@ -23,7 +23,10 @@ BATCH = 65536
 STEPS = 50
 HORIZON = 20
 ADMM_ITERS = 100
-TILE = 256
+# tile sweep on v5e (65k batch, 50 steps): 128→1.35M, 256→1.65M, 384→1.75M,
+# 512→1.80M solves/s (success 0.994→0.990); 1024 exceeds the 16M VMEM scoped
+# limit. 512 is the knee.
+TILE = 512
 TARGET_SOLVES_PER_S = 10_000.0
 
 
