@@ -81,20 +81,27 @@ def dynamic_bicycle_ode(
     completes that parameter surface with the standard miniature-race-car dynamic
     bicycle (Pacejka lateral forces, duty-cycle motor longitudinal force):
 
-        α_f = δ − atan2(ω l_f + v_y, v_x)        (front slip angle)
-        α_r =     atan2(ω l_r − v_y, v_x)        (rear slip angle)
+        α_f = δ − atan((ω l_f + v_y) / v_x)      (front slip angle)
+        α_r =     atan((ω l_r − v_y) / v_x)      (rear slip angle)
         F_f = d_f sin(c_f atan(b_f α_f)),  F_r = d_r sin(c_r atan(b_r α_r))
-        F_x = (cm1 − cm2 v_x) a − cr2 v_x² − cr1 tanh(v_x / 0.01)
+        F_x = (cm1 − cm2 v_x) a − cr2 v_x |v_x| − cr1 tanh(v_x / 0.01)
 
         ṗx = v_x cos ψ − v_y sin ψ,   ṗy = v_x sin ψ + v_y cos ψ,   ψ̇ = ω
         v̇x = (F_x − F_f sin δ) / m + v_y ω
         v̇y = (F_r + F_f cos δ) / m − v_x ω
         ω̇  = (F_f l_f cos δ − F_r l_r) / I_z
 
-    (rolling resistance smoothed by ``tanh`` so the model is C¹ at rest and valid
-    in reverse). State ``(p_x, p_y, ψ, v_x, v_y, ω)``, input ``(a, δ)`` with the
-    same limits as the kinematic tier. Slip angles lose meaning as ``v_x → 0``;
-    below walking pace prefer :func:`kinematic_bicycle_ode`.
+    The slip angles use a plain ``atan`` of the velocity ratio (NOT ``atan2``):
+    ``atan2`` jumps by π the moment ``v_x`` goes negative and conjures enormous
+    phantom tire forces (measured ω̇ ≈ 77 rad/s² in straight-line reverse), while
+    the ratio form stays continuous and zeroes the lateral forces when the lateral
+    velocities are zero. Drag is ``v_x |v_x|`` so it opposes motion in either
+    direction. The Pacejka single-track model is still a *forward-driving* model:
+    its validity degrades below walking pace and in sustained reverse — use
+    :func:`kinematic_bicycle_ode` for parking-speed and reverse maneuvers.
+    ``v_x`` is clamped away from 0 (±0.01, forward-biased at exactly 0) to keep
+    the ratio finite. State ``(p_x, p_y, ψ, v_x, v_y, ω)``, input ``(a, δ)`` with
+    the same limits as the kinematic tier.
     """
     psi = x[..., 2]
     vx = x[..., 3]
@@ -108,13 +115,15 @@ def dynamic_bicycle_ode(
     m = params.mass
     iz = params.inertia
 
-    alpha_f = delta - jnp.arctan2(omega * lf + vy, vx)
-    alpha_r = jnp.arctan2(omega * lr - vy, vx)
+    eps = 1e-2
+    vx_safe = jnp.where(vx >= 0, jnp.maximum(vx, eps), jnp.minimum(vx, -eps))
+    alpha_f = delta - jnp.arctan((omega * lf + vy) / vx_safe)
+    alpha_r = jnp.arctan((omega * lr - vy) / vx_safe)
     F_f = params.df * jnp.sin(params.cf * jnp.arctan(params.bf * alpha_f))
     F_r = params.dr * jnp.sin(params.cr * jnp.arctan(params.br * alpha_r))
     F_x = (
         (params.cm1 - params.cm2 * vx) * a
-        - params.cr2 * vx * vx
+        - params.cr2 * vx * jnp.abs(vx)
         - params.cr1 * jnp.tanh(vx / 0.01)
     )
 
@@ -125,8 +134,7 @@ def dynamic_bicycle_ode(
     omega_dot = (F_f * lf * jnp.cos(delta) - F_r * lr) / iz
 
     return jnp.stack(
-        [px_dot, py_dot, omega * jnp.ones_like(psi), vx_dot, vy_dot, omega_dot],
-        axis=-1,
+        [px_dot, py_dot, omega, vx_dot, vy_dot, omega_dot], axis=-1
     )
 
 

@@ -147,8 +147,12 @@ def rollout_parallel(
     Accepts either a ``LinearSystem``-like object exposing ``.A``/``.B`` or explicit
     matrices; falls through to :func:`affine_rollout_parallel`.
     """
-    if A is None:
-        A = system.A  # type: ignore[union-attr]
-    if B is None:
-        B = system.B  # type: ignore[union-attr]
+    if A is None or B is None:
+        if system is None:
+            raise ValueError(
+                "rollout_parallel needs either a system with .A/.B or explicit "
+                "A= and B= matrices"
+            )
+        A = system.A if A is None else A
+        B = system.B if B is None else B
     return affine_rollout_parallel(A, B, x0, controls)

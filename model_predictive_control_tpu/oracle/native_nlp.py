@@ -11,18 +11,12 @@ scipy, and provides a native closed-loop MPC driver (the reference's exercise-5 
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_SRC = os.path.join(_NATIVE_DIR, "nlp_oracle.cpp")
-_QP_SRC = os.path.join(_NATIVE_DIR, "qp_oracle.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "build", "libnlp_oracle.so")
+from ._native_build import c64 as _c64, load_native_lib, ptr as _ptr
+
+_SOURCES = ("nlp_oracle.cpp", "qp_oracle.cpp")
 
 _lib = None
 
@@ -43,28 +37,11 @@ def pack_params(params) -> np.ndarray:
     )
 
 
-def _build() -> str:
-    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    stale = not os.path.exists(_LIB) or any(
-        os.path.getmtime(_LIB) < os.path.getmtime(src) for src in (_SRC, _QP_SRC)
-    )
-    if stale:
-        subprocess.run(
-            [
-                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-o", _LIB, _SRC, _QP_SRC,
-            ],
-            check=True,
-            capture_output=True,
-        )
-    return _LIB
-
-
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    lib = ctypes.CDLL(_build())
+    lib = load_native_lib("libnlp_oracle.so", _SOURCES)
     d = ctypes.POINTER(ctypes.c_double)
     u8 = ctypes.POINTER(ctypes.c_uint8)
     ip = ctypes.POINTER(ctypes.c_int)
@@ -87,14 +64,6 @@ def _load():
     ]
     _lib = lib
     return lib
-
-
-def _ptr(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
-
-
-def _c64(a):
-    return np.ascontiguousarray(np.asarray(a, dtype=np.float64))
 
 
 def solve_parking_native(

@@ -13,43 +13,19 @@ mtime; rebuilds are a few hundred ms.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_SRC = os.path.join(_NATIVE_DIR, "qp_oracle.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "build", "libqp_oracle.so")
+from ._native_build import c64 as _c64, load_native_lib, ptr as _ptr
 
 _lib = None
-
-
-def _build() -> str:
-    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    if (
-        not os.path.exists(_LIB)
-        or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-    ):
-        subprocess.run(
-            [
-                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-o", _LIB, _SRC,
-            ],
-            check=True,
-            capture_output=True,
-        )
-    return _LIB
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    lib = ctypes.CDLL(_build())
+    lib = load_native_lib("libqp_oracle.so", ("qp_oracle.cpp",))
     d = ctypes.POINTER(ctypes.c_double)
     u8 = ctypes.POINTER(ctypes.c_uint8)
     lib.admm_box_qp_family.restype = ctypes.c_int
@@ -65,14 +41,6 @@ def _load():
     ]
     _lib = lib
     return lib
-
-
-def _ptr(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
-
-
-def _c64(a):
-    return np.ascontiguousarray(np.asarray(a, dtype=np.float64))
 
 
 def solve_qp_family_native(

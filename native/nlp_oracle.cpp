@@ -96,6 +96,11 @@ inline Dual tan(const Dual& a) {
 inline Dual atan(const Dual& a) {
   return unary(a, std::atan(a.v), 1.0 / (1.0 + a.v * a.v));
 }
+// let the templated model below resolve the same calls for plain double
+using std::atan;
+using std::cos;
+using std::sin;
+using std::tan;
 
 // ---- vehicle model (mirrors models/bicycle.py::kinematic_bicycle_ode) ------
 
@@ -107,16 +112,18 @@ struct VehicleParams {
   double min_drive, max_drive, max_steer;
 };
 
-// continuous-time kinematic bicycle ODE on duals
-void bicycle_ode(const VehicleParams& p, const Dual x[NX], const Dual u[NU],
-                 Dual out[NX]) {
-  const Dual& psi = x[2];
-  const Dual& v = x[3];
-  const Dual& a = u[0];
-  const Dual& delta = u[1];
+// continuous-time kinematic bicycle ODE; T = Dual (derivative path) or double
+// (plain numeric path, e.g. the closed-loop plant — 1/7th the flops of duals)
+template <typename T>
+void bicycle_ode(const VehicleParams& p, const T x[NX], const T u[NU],
+                 T out[NX]) {
+  const T& psi = x[2];
+  const T& v = x[3];
+  const T& a = u[0];
+  const T& delta = u[1];
   double lf = p.axis_front, lr = p.axis_rear;
-  Dual beta = atan((lr / (lf + lr)) * tan(delta));
-  Dual ang = psi + beta;
+  T beta = atan((lr / (lf + lr)) * tan(delta));
+  T ang = psi + beta;
   out[0] = v * cos(ang);
   out[1] = v * sin(ang);
   out[2] = (1.0 / lr) * (v * sin(beta));
@@ -125,15 +132,16 @@ void bicycle_ode(const VehicleParams& p, const Dual x[NX], const Dual u[NU],
 
 // one discrete step x⁺ = F(x, u); integrator 0 = forward Euler (the reference
 // prediction model, main.py:76), 1 = RK4 (the template variant, template.py:141)
-void step(const VehicleParams& p, double ts, int integrator, const Dual x[NX],
-          const Dual u[NU], Dual out[NX]) {
-  Dual k1[NX];
+template <typename T>
+void step(const VehicleParams& p, double ts, int integrator, const T x[NX],
+          const T u[NU], T out[NX]) {
+  T k1[NX];
   bicycle_ode(p, x, u, k1);
   if (integrator == 0) {
     for (int i = 0; i < NX; ++i) out[i] = x[i] + ts * k1[i];
     return;
   }
-  Dual x2[NX], k2[NX], x3[NX], k3[NX], x4[NX], k4[NX];
+  T x2[NX], k2[NX], x3[NX], k3[NX], x4[NX], k4[NX];
   for (int i = 0; i < NX; ++i) x2[i] = x[i] + (0.5 * ts) * k1[i];
   bicycle_ode(p, x2, u, k2);
   for (int i = 0; i < NX; ++i) x3[i] = x[i] + (0.5 * ts) * k2[i];
@@ -618,8 +626,10 @@ int parking_sqp_solve(const double* vp, int N, double ts, int integrator,
       if (admm_box_qp(Hreg.data(), ws.g.data(), Aqp.data(), lqp.data(),
                       uqp.data(), n, m, 10.0, 1e-6, qp_iters, 1e-11, 1,
                       delta.data(), y.data(), &qp_conv) != 0) {
-        lam = std::max(lam * 10.0, 1e-6);
-        continue;
+        // The damped Gauss-Newton model is PSD by construction — if it fails
+        // to factor, that is a solver-infrastructure failure (status 1), not
+        // non-convergence.
+        return 1;
       }
 
       // l1-merit backtracking (exact penalty mu >= ||y||inf)
@@ -895,14 +905,13 @@ int parking_mpc_closed_loop(const double* vp, const double* vp_plant, int N,
     success_out[t] = (st == 0) ? 1 : 0;
     double u0[NU] = {u_sol[0], u_sol[1]};
     std::memcpy(inputs_out + t * NU, u0, sizeof(u0));
-    // plant: RK4 substeps on the (possibly perturbed) plant parameters
+    // plant: RK4 substeps on the (possibly perturbed) plant parameters,
+    // plain doubles — no derivatives needed on the plant side
     double h = ts / plant_substeps;
-    Dual xd[NX], ud[NU], xn[NX];
+    double xn[NX];
     for (int s = 0; s < plant_substeps; ++s) {
-      for (int i = 0; i < NX; ++i) xd[i] = Dual(x[i]);
-      for (int j = 0; j < NU; ++j) ud[j] = Dual(u0[j]);
-      step(pp, h, 1, xd, ud, xn);
-      for (int i = 0; i < NX; ++i) x[i] = xn[i].v;
+      step(pp, h, 1, x, u0, xn);
+      std::memcpy(x, xn, sizeof(xn));
     }
     std::memcpy(states_out + (t + 1) * NX, x, sizeof(x));
     // shift warm start one stage (solvers/parking.py:171)

@@ -52,6 +52,9 @@ class TestDynamicBicycle:
         x_rev = jnp.asarray([0.0, 0.0, 0.0, -0.2, 0.0, 0.0])
         dx = dynamic_bicycle_ode(p, x_rev, jnp.asarray([0.0, 0.0]))
         assert float(dx[3]) > 0.0  # drag opposes motion in reverse too
+        # straight-line reverse must not conjure phantom lateral/yaw forces
+        # (an atan2-based slip angle jumps by pi at vx < 0; regression guard)
+        np.testing.assert_allclose(dx[4:], 0.0, atol=1e-12)
 
     def test_closed_loop_rollout_finite(self):
         p = _params()
