@@ -60,7 +60,14 @@ from .solvers.qp import (
     pdip_solve,
 )
 from .solvers.sqp import ShootingOCP, SQPSolution, sqp_solve
-from .solvers.parking import make_parking_ocp, NonlinearMPC
+from .solvers.ilqr import (
+    ALILQRSolution,
+    ILQRProblem,
+    ILQRSolution,
+    al_ilqr_solve,
+    ilqr_solve,
+)
+from .solvers.parking import make_parking_ocp, make_parking_ilqr, NonlinearMPC
 from .solvers.linear_mpc import (
     Problem,
     LinearMPC,

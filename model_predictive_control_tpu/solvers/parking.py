@@ -139,6 +139,70 @@ def make_parking_ocp(
     )
 
 
+def make_parking_ilqr(
+    params: VehicleParameters,
+    N: int,
+    ts: float,
+    x_obs: jnp.ndarray | None = None,
+    Q: tuple = Q_MAIN,
+    R: tuple = R_MAIN,
+    qn_scale: float = QN_SCALE_MAIN,
+    n_circles: int = 3,
+    dtype=jnp.float32,
+):
+    """Session-4 parking OCP in iLQR form: ``(ILQRProblem, constraints, nc)``.
+
+    Same model/cost/constraint semantics as :func:`make_parking_ocp` (see its
+    docstring for the reference citations), expressed stagewise for the DDP-family
+    solver (:mod:`..solvers.ilqr`): constraints are ``c(x, u, t) ≤ 0`` rows —
+    state box (8), input box (4), and ``(r+r_p)² − ‖c_v − c_o‖²`` clearances
+    (``n_circles²``) when an obstacle is present.
+    """
+    from .ilqr import ILQRProblem
+
+    Qd = jnp.asarray(Q, dtype=dtype)
+    Rd = jnp.asarray(R, dtype=dtype)
+    QNd = qn_scale * Qd
+    step = euler(lambda x, u: kinematic_bicycle_ode(params, x, u), ts)
+
+    lb_x = jnp.asarray(
+        [params.min_pos_x, params.min_pos_y, params.min_heading, params.min_vel],
+        dtype=dtype,
+    )
+    ub_x = jnp.asarray(
+        [params.max_pos_x, params.max_pos_y, params.max_heading, params.max_vel],
+        dtype=dtype,
+    )
+    lb_u = jnp.asarray([params.min_drive, -params.max_steer], dtype=dtype)
+    ub_u = jnp.asarray([params.max_drive, params.max_steer], dtype=dtype)
+
+    if x_obs is not None:
+        offsets, r_circ = cover_circle_offsets(params.length, params.width, n_circles)
+        offsets = offsets.astype(dtype)
+        r2 = jnp.asarray((r_circ + r_circ) ** 2, dtype=dtype)
+        obs_circles = transform_circles(jnp.asarray(x_obs, dtype=dtype), offsets)
+        n_colli = n_circles * n_circles
+    else:
+        n_colli = 0
+
+    def constraints(x, u, t):
+        rows = [x - ub_x, lb_x - x, u - ub_u, lb_u - u]
+        if n_colli:
+            veh = transform_circles(x, offsets)
+            rows.append(r2 - pairwise_sq_distances(veh, obs_circles))
+        return jnp.concatenate(rows)
+
+    prob = ILQRProblem(
+        dynamics=lambda x, u, t: step(x, u),
+        stage_cost=lambda x, u, t: x @ (Qd * x) + u @ (Rd * u),
+        terminal_cost=lambda x: x @ (QNd * x),
+        N=N,
+        nx=NX,
+        nu=NU,
+    )
+    return prob, constraints, 2 * NX + 2 * NU + n_colli
+
+
 class NonlinearMPC:
     """Receding-horizon nonlinear MPC over the parking OCP (the reference's
     ``MPCController.__call__`` pattern, main.py:121-129, with warm-started SQP
