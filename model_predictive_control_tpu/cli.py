@@ -41,6 +41,11 @@ def main(argv=None) -> int:
         ps.add_argument("--steps", type=int, default=60)
         ps.add_argument("--solver", choices=("admm", "pdip"), default="admm")
         ps.add_argument("--iters", type=int, default=200)
+        ps.add_argument(
+            "--soft",
+            action="store_true",
+            help="slack-softened state constraints (QP feasible at every state)",
+        )
         _add_common(ps)
 
     p4 = sub.add_parser("session4", help="nonlinear parking MPC")
@@ -95,6 +100,7 @@ def main(argv=None) -> int:
             outdir=args.outdir,
             solver=args.solver,
             iters=args.iters,
+            soft=args.soft,
         )
     elif args.cmd == "session4":
         from .experiments import session4

@@ -30,6 +30,7 @@ def closed_loop_linear_mpc(
     solver: str = "admm",
     iters: int = 200,
     terminal: str | None = None,
+    soft: bool = False,
     dtype=jnp.float32,
 ):
     """One closed-loop run. ``terminal`` defaults to "Q" for session 2 and "dare"
@@ -48,7 +49,8 @@ def closed_loop_linear_mpc(
 
     ctrl = jax.jit(
         lambda: make_linear_mpc(
-            problem, solver=solver, iters=iters, dtype=dtype, terminal=terminal
+            problem, solver=solver, iters=iters, dtype=dtype, terminal=terminal,
+            soft_state=soft,
         )
     )()
     system = problem.system(dtype)
@@ -72,10 +74,11 @@ def run(
     outdir: str | None = None,
     solver: str = "admm",
     iters: int = 200,
+    soft: bool = False,
 ) -> dict:
     """Driver: closed loop + constraint-respect checks + plots. JSON-able summary."""
     res, ctrl, problem = closed_loop_linear_mpc(
-        session=session, N=N, steps=steps, solver=solver, iters=iters
+        session=session, N=N, steps=steps, solver=solver, iters=iters, soft=soft
     )
     states = np.asarray(res.states)
     inputs = np.asarray(res.inputs)
