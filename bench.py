@@ -23,9 +23,9 @@ BATCH = 65536
 STEPS = 50
 HORIZON = 20
 ADMM_ITERS = 100
-# tile sweep on v5e (65k batch, 50 steps): 128→1.35M, 256→1.65M, 384→1.75M,
-# 512→1.80M solves/s (success 0.994→0.990); 1024 exceeds the 16M VMEM scoped
-# limit. 512 is the knee.
+# tile sweep on v5e (65k batch, 50 steps, per-scenario early exit in kernel):
+# 128→1.88M, 256→2.22M, 512→2.34M solves/s (success 0.995→0.993); 1024 exceeds
+# the 16M VMEM scoped limit. Without early exit 512 gave 1.80M at 0.990.
 TILE = 512
 TARGET_SOLVES_PER_S = 10_000.0
 
