@@ -245,3 +245,58 @@ class NonlinearMPC:
 
     def initial_carry(self, dtype=jnp.float32):
         return jnp.zeros(self.ocp.n_controls, dtype=dtype)
+
+
+class ILQRMPC:
+    """Receding-horizon nonlinear MPC over the AL-iLQR solver family.
+
+    Same ``MPCController.__call__`` contract as :class:`NonlinearMPC`
+    (``session_4/main.py:121-129``) but the per-step solve is an augmented-
+    Lagrangian iLQR (:func:`..solvers.ilqr.al_ilqr_solve`) — O(N) Riccati sweeps
+    per inner iteration instead of a condensed QP, the better-scaling choice at
+    long horizons. Warm start: the previous control trajectory shifted one stage.
+    """
+
+    def __init__(
+        self,
+        prob,
+        constraints,
+        n_constraints: int,
+        outer_iters: int = 6,
+        inner_iters: int = 15,
+    ):
+        self.prob = prob
+        self.constraints = constraints
+        self.n_constraints = n_constraints
+        self.outer_iters = outer_iters
+        self.inner_iters = inner_iters
+
+    def solve(self, x0: jnp.ndarray, u_init=None):
+        from .ilqr import al_ilqr_solve
+
+        return al_ilqr_solve(
+            self.prob,
+            self.constraints,
+            self.n_constraints,
+            x0,
+            u_init=u_init,
+            outer_iters=self.outer_iters,
+            inner_iters=self.inner_iters,
+        )
+
+    def policy(self) -> Policy:
+        def policy_fn(x, t, carry):
+            u_init = carry if not isinstance(carry, tuple) else None
+            sol = self.solve(x, u_init=u_init)
+            u_warm = jnp.concatenate([sol.us[1:], sol.us[-1:]], axis=0)
+            aux = {
+                "solver_success": sol.converged,
+                "input_prediction": sol.us,
+                "viol": sol.viol,
+            }
+            return sol.us[0], u_warm, aux
+
+        return policy_fn
+
+    def initial_carry(self, dtype=jnp.float32):
+        return jnp.zeros((self.prob.N, self.prob.nu), dtype=dtype)

@@ -99,3 +99,26 @@ class TestALILQR:
         ts = jnp.arange(8)
         cs = jax.vmap(cons)(sol.xs[:-1], sol.us, ts)
         assert float(jnp.max(cs)) < 1e-6  # every c ≤ 0 row holds
+
+
+class TestILQRMPC:
+    def test_closed_loop_parks_the_car(self):
+        """Receding-horizon AL-iLQR drives the session-4 car to the origin
+        under the accurate plant (exercise-5 shape, session4_sol.py:443-488)."""
+        from model_predictive_control_tpu.models.bicycle import KinematicBicycle
+        from model_predictive_control_tpu.ops.integrators import rk4_fine
+        from model_predictive_control_tpu.solvers.parking import ILQRMPC
+
+        p = mpc.VehicleParameters()
+        prob, cons, nc = make_parking_ilqr(p, 10, 0.08, x_obs=X_OBS, dtype=jnp.float64)
+        ctrl = ILQRMPC(prob, cons, nc, outer_iters=8, inner_iters=25)
+        plant = rk4_fine(KinematicBicycle(p), 0.08)
+        res = mpc.simulate(
+            X0, plant, steps=25, policy=ctrl.policy(),
+            policy_carry=ctrl.initial_carry(jnp.float64),
+        )
+        assert bool(jnp.all(jnp.isfinite(res.states)))
+        assert float(jnp.mean(res.logs["solver_success"].astype(jnp.float64))) > 0.8
+        start = float(jnp.linalg.norm(res.states[0, :2]))
+        end = float(jnp.linalg.norm(res.states[-1, :2]))
+        assert end < 0.4 * start
