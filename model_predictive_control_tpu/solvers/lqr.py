@@ -28,8 +28,17 @@ def solve_finite_horizon(
     R: jnp.ndarray,
     Pf: jnp.ndarray,
     N: int,
+    parallel: bool = False,
 ) -> LQRSolution:
-    P, K = riccati_recursion(sys.A, sys.B, Q, R, Pf, N)
+    """Backward Riccati solve. ``parallel=True`` routes through the O(log N)
+    associative-scan recursion (``ops/parallel_horizon.py``) — same result to
+    rounding, shorter critical path when N is large."""
+    if parallel:
+        from ..ops.parallel_horizon import riccati_recursion_parallel
+
+        P, K = riccati_recursion_parallel(sys.A, sys.B, Q, R, Pf, N)
+    else:
+        P, K = riccati_recursion(sys.A, sys.B, Q, R, Pf, N)
     return LQRSolution(P=P, K=K)
 
 

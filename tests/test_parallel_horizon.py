@@ -113,3 +113,14 @@ class TestRiccatiParallel:
         assert Ps.shape == (3, 9, 2, 2)
         P_seq, _ = mpc.riccati_recursion(A, B, Q, R, 2.0 * Q, 8)
         np.testing.assert_allclose(Ps[1], P_seq, atol=1e-9)
+
+
+def test_solve_finite_horizon_parallel_flag():
+    sys_ = mpc.double_integrator_discrete(0.5)
+    C = np.array([[1.0, -2.0 / 3.0]])
+    Q = jnp.asarray(C.T @ C + 1e-3 * np.eye(2))
+    R = jnp.asarray([[0.1]])
+    seq = mpc.solve_finite_horizon(sys_, Q, R, Pf=Q, N=20)
+    par = mpc.solve_finite_horizon(sys_, Q, R, Pf=Q, N=20, parallel=True)
+    np.testing.assert_allclose(par.P, seq.P, atol=1e-9)
+    np.testing.assert_allclose(par.K, seq.K, atol=1e-9)
