@@ -52,6 +52,7 @@ def main(argv=None) -> int:
     p4.add_argument("--variant", choices=("main", "sol"), default="main")
     p4.add_argument("--steps", type=int, default=None)
     p4.add_argument("--sqp-iters", type=int, default=15)
+    p4.add_argument("--solver", choices=("sqp", "ilqr"), default="sqp")
     p4.add_argument("--animate", action="store_true")
     _add_common(p4)
 
@@ -111,6 +112,7 @@ def main(argv=None) -> int:
             outdir=args.outdir,
             animate=args.animate,
             sqp_iters=args.sqp_iters,
+            solver=args.solver,
         )
     elif args.cmd == "sweep":
         from .parallel import make_mesh, parking_sweep

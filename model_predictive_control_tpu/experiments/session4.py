@@ -124,15 +124,27 @@ def _plant(params: VehicleParameters, ts: float, kind: str):
 
 def _solve_plan(
     params, N, ts, x0, x_obs=None, weights="sol", sqp_iters=25, qp_iters=40,
-    dtype=jnp.float32,
+    solver="sqp", dtype=jnp.float32,
 ):
     Q, qn = (Q_MAIN, QN_SCALE_MAIN) if weights == "main" else (Q_SOL, QN_SCALE_SOL)
-    ocp = make_parking_ocp(
-        params, N=N, ts=ts,
-        x_obs=None if x_obs is None else jnp.asarray(x_obs, dtype=dtype),
-        Q=Q, R=R_MAIN, qn_scale=qn, dtype=dtype,
-    )
-    mpc = NonlinearMPC(ocp, sqp_iters=sqp_iters, qp_iters=qp_iters)
+    if solver == "ilqr":
+        from ..solvers.parking import ILQRMPC, make_parking_ilqr
+
+        prob, cons, nc = make_parking_ilqr(
+            params, N=N, ts=ts,
+            x_obs=None if x_obs is None else jnp.asarray(x_obs, dtype=dtype),
+            Q=Q, R=R_MAIN, qn_scale=qn, dtype=dtype,
+        )
+        mpc = ILQRMPC(prob, cons, nc, outer_iters=8, inner_iters=25)
+    elif solver == "sqp":
+        ocp = make_parking_ocp(
+            params, N=N, ts=ts,
+            x_obs=None if x_obs is None else jnp.asarray(x_obs, dtype=dtype),
+            Q=Q, R=R_MAIN, qn_scale=qn, dtype=dtype,
+        )
+        mpc = NonlinearMPC(ocp, sqp_iters=sqp_iters, qp_iters=qp_iters)
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
     sol = jax.jit(mpc.solve)(jnp.asarray(x0, dtype=dtype))
     return mpc, sol
 
@@ -183,6 +195,7 @@ def closed_loop_parking(
     mismatch: bool = False,
     sqp_iters: int = 15,
     qp_iters: int = 40,
+    solver: str = "sqp",
     dtype=jnp.float32,
 ):
     """Receding-horizon closed loop (exercise 5 / ``main()``).
@@ -190,9 +203,10 @@ def closed_loop_parking(
     ``variant="main"``: obstacle scenario, N=30, ts=0.08, exact plant
     (``main.py:241-271``). ``variant="sol"``: no obstacle, N=50, ts=0.05
     (``session4_sol.py:443-465``); ``mismatch=True`` scales the plant friction by
-    0.8 while the controller keeps the nominal model.
+    0.8 while the controller keeps the nominal model. ``solver`` selects the
+    per-step optimizer: ``"sqp"`` (condensed-QP SQP) or ``"ilqr"`` (AL-iLQR).
 
-    Returns ``(SimResult, NonlinearMPC, params)``.
+    Returns ``(SimResult, controller, params)``.
     """
     params = VehicleParameters()
     if variant == "main":
@@ -205,12 +219,24 @@ def closed_loop_parking(
         raise ValueError(f"unknown variant {variant!r}")
 
     Q, qn = (Q_MAIN, QN_SCALE_MAIN) if weights == "main" else (Q_SOL, QN_SCALE_SOL)
-    ocp = make_parking_ocp(
-        params, N=N, ts=ts,
-        x_obs=None if x_obs is None else jnp.asarray(x_obs, dtype=dtype),
-        Q=Q, R=R_MAIN, qn_scale=qn, dtype=dtype,
-    )
-    mpc = NonlinearMPC(ocp, sqp_iters=sqp_iters, qp_iters=qp_iters)
+    if solver == "ilqr":
+        from ..solvers.parking import ILQRMPC, make_parking_ilqr
+
+        prob, cons, nc = make_parking_ilqr(
+            params, N=N, ts=ts,
+            x_obs=None if x_obs is None else jnp.asarray(x_obs, dtype=dtype),
+            Q=Q, R=R_MAIN, qn_scale=qn, dtype=dtype,
+        )
+        mpc = ILQRMPC(prob, cons, nc, outer_iters=8, inner_iters=25)
+    elif solver == "sqp":
+        ocp = make_parking_ocp(
+            params, N=N, ts=ts,
+            x_obs=None if x_obs is None else jnp.asarray(x_obs, dtype=dtype),
+            Q=Q, R=R_MAIN, qn_scale=qn, dtype=dtype,
+        )
+        mpc = NonlinearMPC(ocp, sqp_iters=sqp_iters, qp_iters=qp_iters)
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
 
     plant_params = (
         dataclasses.replace(params, friction=params.friction * MISMATCH_FRICTION)
@@ -235,10 +261,11 @@ def run(
     outdir: str | None = None,
     animate: bool = False,
     sqp_iters: int = 15,
+    solver: str = "sqp",
 ) -> dict:
     """Driver: closed-loop parking + accuracy sweep summary + plots/animation."""
     res, mpc, params = closed_loop_parking(
-        variant=variant, steps=steps, sqp_iters=sqp_iters
+        variant=variant, steps=steps, sqp_iters=sqp_iters, solver=solver
     )
     states = np.asarray(res.states)
     inputs = np.asarray(res.inputs)
@@ -250,7 +277,16 @@ def run(
         "success_rate": float(
             np.mean(np.asarray(res.logs["solver_success"], dtype=np.float32))
         ),
-        "kkt_res_max": float(np.max(np.asarray(res.logs["kkt_res"]))),
+        "kkt_res_max": (
+            float(np.max(np.asarray(res.logs["kkt_res"])))
+            if "kkt_res" in res.logs
+            else None
+        ),
+        "viol_max": (
+            float(np.max(np.asarray(res.logs["viol"])))
+            if "viol" in res.logs
+            else None
+        ),
     }
 
     if outdir is not None:
