@@ -75,5 +75,11 @@ from .solvers.linear_mpc import (
     session2_problem,
     session3_problem,
 )
+from .solvers.riccati_ip import (
+    StagewiseIPResult,
+    StagewiseMPC,
+    make_stagewise_mpc,
+    stagewise_ip_solve,
+)
 
 __version__ = "0.1.0"
