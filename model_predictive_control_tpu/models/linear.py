@@ -19,10 +19,14 @@ from ..utils.pytree import pytree_dataclass
 
 @pytree_dataclass
 class LinearSystem:
-    """Discrete-time LTI system ``x⁺ = A x + B u``."""
+    """Discrete-time LTI system ``x⁺ = A x + B u`` with optional output
+    ``y = C x + D u`` (reference: ``LinearSystem.set_output_eq`` at
+    ``session_1/LinearSystem.py:12-14``)."""
 
     A: jnp.ndarray  # (nx, nx)
     B: jnp.ndarray  # (nx, nu)
+    C: jnp.ndarray | None = None  # (ny, nx)
+    D: jnp.ndarray | None = None  # (ny, nu)
 
     @property
     def nx(self) -> int:
@@ -35,6 +39,20 @@ class LinearSystem:
     def __call__(self, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """One discrete step (reference semantics: ``LinearSystem.py:16-18``)."""
         return self.A @ x + self.B @ u
+
+    def with_output(self, C: jnp.ndarray, D: jnp.ndarray | None = None) -> "LinearSystem":
+        """Functional ``set_output_eq`` — returns a new frozen system."""
+        return LinearSystem(A=self.A, B=self.B, C=jnp.asarray(C),
+                            D=None if D is None else jnp.asarray(D))
+
+    def output(self, x: jnp.ndarray, u: jnp.ndarray | None = None) -> jnp.ndarray:
+        """``y = C x (+ D u)``; identity output when no C was set."""
+        if self.C is None:
+            return x
+        y = self.C @ x
+        if self.D is not None and u is not None:
+            y = y + self.D @ u
+        return y
 
 
 def double_integrator_continuous(dtype=jnp.float32) -> LinearSystem:

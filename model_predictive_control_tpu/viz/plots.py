@@ -134,6 +134,35 @@ def plot_state_trajectory(
     return _finish(fig, save)
 
 
+def plot_cover_circles(pose, params, n_circles: int = 3, save=None, ax=None):
+    """Visual check of the covering-circle collision geometry — the reference's
+    ``plot_cover_circle``/``test_circle`` (``session_4/main.py:203-238``): the car
+    footprint at ``pose`` overlaid with its ``n_circles`` covering circles."""
+    from ..utils.geometry import cover_circle_offsets, transform_circles
+
+    import jax.numpy as jnp
+
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(5, 5))
+    else:
+        fig = ax.figure
+    offsets, r = cover_circle_offsets(params.length, params.width, n_circles)
+    centers = np.asarray(transform_circles(jnp.asarray(pose), offsets))
+    _car_footprint(ax, pose, params, SERIES_COLORS[0], alpha=1.0)
+    for cx, cy in centers:
+        ax.add_patch(
+            patches.Circle(
+                (float(cx), float(cy)), float(r),
+                fill=False, edgecolor=SERIES_COLORS[1], linestyle="--",
+            )
+        )
+    ax.set_aspect("equal")
+    ax.relim()
+    ax.autoscale_view()
+    ax.grid(**GRID_KW)
+    return _finish(fig, save)
+
+
 STATE_LABELS_BICYCLE = ("x [m]", "y [m]", "heading ψ [rad]", "velocity v [m/s]")
 
 

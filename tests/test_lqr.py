@@ -141,3 +141,21 @@ def test_prediction_policy_open_loop():
         u = np.asarray(sol.K[t]) @ x
         x = np.asarray(sys.A) @ x + np.asarray(sys.B) @ u
     np.testing.assert_allclose(res.states[-1], x, rtol=1e-12)
+
+
+def test_output_equation():
+    """set_output_eq semantics (LinearSystem.py:12-14): y = Cx + Du."""
+    import jax.numpy as jnp
+    from model_predictive_control_tpu.models.linear import LinearSystem
+
+    sys_ = LinearSystem(
+        A=jnp.eye(2), B=jnp.asarray([[0.0], [1.0]])
+    ).with_output(C=jnp.asarray([[1.0, 0.0]]), D=jnp.asarray([[2.0]]))
+    x = jnp.asarray([3.0, -1.0])
+    u = jnp.asarray([0.5])
+    np.testing.assert_allclose(np.asarray(sys_.output(x, u)), [4.0])
+    np.testing.assert_allclose(np.asarray(sys_.output(x)), [3.0])
+    # identity output when unset; dynamics unchanged by with_output
+    base = LinearSystem(A=jnp.eye(2), B=jnp.asarray([[0.0], [1.0]]))
+    np.testing.assert_allclose(np.asarray(base.output(x)), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(sys_(x, u)), np.asarray(base(x, u)))

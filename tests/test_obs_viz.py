@@ -114,6 +114,9 @@ def test_plot_set_builds(tmp_path, parking_run):
     assert plot_states_separately(states, ts=0.08) is not None
     assert plot_phase_trajectory(states[:, :2], predictions=preds[..., :2]) is not None
     assert plot_cost_to_go_comparison([4, 6, 10], [3.0, 2.5, 2.2], 2.1) is not None
+    from model_predictive_control_tpu.viz import plot_cover_circles
+
+    assert plot_cover_circles(states[0], params) is not None
     assert (
         plot_integration_error(0.05, {"euler": np.abs(np.sin(t)) for t in [np.linspace(0, 1, 6)]})
         is not None
