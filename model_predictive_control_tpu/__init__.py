@@ -27,6 +27,7 @@ from .ops.integrators import euler, heun, rk4, rk4_fine, get_integrator
 from .ops.riccati import riccati_recursion, dare_sda, dare_residual, lqr_gain
 from .ops.parallel_horizon import (
     affine_rollout_parallel,
+    lqt_solve_parallel,
     riccati_recursion_parallel,
     rollout_parallel,
 )

@@ -156,3 +156,107 @@ def rollout_parallel(
         A = system.A if A is None else A
         B = system.B if B is None else B
     return affine_rollout_parallel(A, B, x0, controls)
+
+
+# ---------------------------------------------------------------------------
+# Affine parallel LQT: O(log N)-depth solve of the linear-quadratic problem
+# WITH linear cost terms — the parallel twin of the stagewise Newton-KKT solve
+# (solvers/riccati_ip.py::lq_factor + lq_affine_solve).
+# ---------------------------------------------------------------------------
+#
+# Each stage carries a conditional value element (A, b, C, η, J) encoding
+#   V(x, z) = ½xᵀJx + ηᵀx + ½(z − Ax − b)ᵀ C⁻¹ (z − Ax − b)   (information form),
+# the affine generalization of the (A, C, J) element above (cf. PAPERS.md:
+# "Temporal Parallelization of Dynamic Programming and LQT" — Särkkä /
+# García-Fernández). Eliminating the shared intermediate state gives the
+# associative combine below; a suffix scan yields every stage's cost-to-go
+# (J = P_k, η = p_k) in O(log N) depth, and the closed-loop forward rollout is
+# an affine-map composition scan (already associative).
+
+
+@solver_precision
+def lqt_solve_parallel(
+    As: jnp.ndarray,
+    Bs: jnp.ndarray,
+    Qts: jnp.ndarray,
+    Rts: jnp.ndarray,
+    qts: jnp.ndarray,
+    rts: jnp.ndarray,
+    x_init: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve min Σₖ ½xₖᵀQ̃ₖxₖ + q̃ₖᵀxₖ + ½uₖᵀR̃ₖuₖ + r̃ₖᵀuₖ (+ terminal Q̃_N, q̃_N)
+    s.t. x_{k+1} = Aₖxₖ + Bₖuₖ, x₀ = x_init — in O(log N) depth.
+
+    The affine problem is reduced to the pure-quadratic case by appending a
+    constant-1 coordinate: with x̃ = [x; 1], the linear cost terms fold into the
+    corner blocks of the augmented Q̃ and the control-cost completion
+    u = −R̃⁻¹r̃ + δ folds into the augmented dynamics [[A, Bu₀],[0, 1]]. The
+    tested value-function combine above then applies verbatim; J̃_k's (nx, nx)
+    block is P_k and its last column is the affine term p_k.
+
+    Shapes: As (N, nx, nx), Bs (N, nx, nu), Qts (N+1, nx, nx) (index 0 unused),
+    Rts (N, nu, nu), qts (N+1, nx), rts (N, nu). Returns (xs (N+1, nx),
+    us (N, nu)), matching the sequential ``lq_factor``/``lq_affine_solve`` pair
+    in ``solvers/riccati_ip.py`` to rounding.
+    """
+    N, nx, nu = Bs.shape
+    dt = x_init.dtype
+
+    u0 = -jnp.linalg.solve(Rts, rts[..., None])[..., 0]  # (N, nu)
+    Rinv_Bt = jnp.linalg.solve(Rts, _T(Bs))  # (N, nu, nx)
+    Cs = Bs @ Rinv_Bt  # B R̃⁻¹ Bᵀ
+
+    na = nx + 1
+
+    def aug_A(A, Bu0):
+        out = jnp.zeros((N, na, na), dt)
+        out = out.at[:, :nx, :nx].set(A)
+        out = out.at[:, :nx, nx].set(Bu0)
+        out = out.at[:, nx, nx].set(1.0)
+        return out
+
+    def aug_C(C):
+        out = jnp.zeros((N, na, na), dt)
+        return out.at[:, :nx, :nx].set(C)
+
+    def aug_J(Q, q):
+        n_el = Q.shape[0]
+        out = jnp.zeros((n_el, na, na), dt)
+        out = out.at[:, :nx, :nx].set(Q)
+        out = out.at[:, :nx, nx].set(q)
+        out = out.at[:, nx, :nx].set(q)
+        return out
+
+    Bu0 = jnp.einsum("kij,kj->ki", Bs, u0)
+    # stage elements 0..N-1; stage 0's state cost is a constant (x₀ fixed) —
+    # zero it so the suffix element at 0 is the value function seen from stage 0
+    J_stage = aug_J(Qts[:-1].at[0].set(0.0), qts[:-1].at[0].set(0.0))
+    elems = (
+        jnp.concatenate([aug_A(As, Bu0), jnp.zeros((1, na, na), dt)], axis=0),
+        jnp.concatenate([aug_C(Cs), jnp.zeros((1, na, na), dt)], axis=0),
+        jnp.concatenate([J_stage, aug_J(Qts[-1:], qts[-1:])], axis=0),
+    )
+    flipped = jax.tree.map(lambda a: a[::-1], elems)
+    scanned = jax.lax.associative_scan(
+        lambda acc, new: _riccati_combine(new, acc), flipped
+    )
+    _, _, J_aug = jax.tree.map(lambda a: a[::-1], scanned)
+    P = J_aug[:, :nx, :nx]  # (N+1, nx, nx); P[N] = Q̃_N
+    p = J_aug[:, :nx, nx]  # (N+1, nx); p[N] = q̃_N
+
+    # per-stage gains from (P_{k+1}, p_{k+1}) — one batched solve
+    BtP = _T(Bs) @ P[1:]
+    Quu = Rts + BtP @ Bs
+    Qux = BtP @ As
+    qu = rts + jnp.einsum("kij,kj->ki", _T(Bs), p[1:])
+    K = -jnp.linalg.solve(Quu, Qux)
+    kff = -jnp.linalg.solve(Quu, qu[..., None])[..., 0]
+
+    # closed-loop forward rollout x_{k+1} = (A + BK)x + B kff — affine compose
+    Ms = As + Bs @ K
+    vs = jnp.einsum("kij,kj->ki", Bs, kff)
+    Mcum, vcum = jax.lax.associative_scan(_compose_affine, (Ms, vs))
+    xs_tail = jnp.einsum("kij,j->ki", Mcum, x_init) + vcum
+    xs = jnp.concatenate([x_init[None], xs_tail], axis=0)
+    us = jnp.einsum("kij,kj->ki", K, xs[:-1]) + kff
+    return xs, us

@@ -289,6 +289,7 @@ def stagewise_ip_solve(
     iters: int = 20,
     tol: float = 1e-8,
     tau: float = 0.995,
+    parallel: bool = False,
 ) -> StagewiseIPResult:
     """Solve the box-constrained LQ-OCP by Mehrotra predictor-corrector IP.
 
@@ -299,6 +300,13 @@ def stagewise_ip_solve(
 
     Fixed ``iters`` Newton-KKT iterations, each = one Riccati factorization + two
     affine sweeps. Branch-free; vmap over ``x0`` (and bounds/costs) for batching.
+
+    ``parallel=True`` replaces every sequential Riccati sweep with the O(log N)-
+    depth associative-scan LQT solver (:func:`..ops.parallel_horizon.
+    lqt_solve_parallel`). The predictor and corrector then each pay a full
+    parallel solve instead of sharing one factorization — a win only when the
+    horizon is long enough (N in the hundreds) that the length-N scan's critical
+    path dominates a solve; at the headline N=20 keep the default.
     """
     if N is None:
         if u_init is not None:
@@ -375,6 +383,28 @@ def stagewise_ip_solve(
     Q_full = jnp.concatenate([jnp.zeros((1, nx, nx), dt), Qs], axis=0)
     Q_full = Q_full.at[N].set(Pf)
 
+    # KKT-solver switch: sequential Riccati (factor once, affine-solve cheaply)
+    # vs O(log N)-depth parallel LQT (no shareable factorization — each solve is
+    # a full associative scan). Same inputs, same solutions to rounding.
+    if parallel:
+        from ..ops.parallel_horizon import lqt_solve_parallel
+
+        def kkt_factor(Qts, Rts):
+            return (Qts, Rts)
+
+        def kkt_solve(factors, qts, rts, x_init=None):
+            Qts, Rts = factors
+            xi = jnp.zeros((nx,), dt) if x_init is None else x_init
+            return lqt_solve_parallel(As, Bs, Qts, Rts, qts, rts, xi)
+
+    else:
+
+        def kkt_factor(Qts, Rts):
+            return lq_factor(As, Bs, Qts, Rts)
+
+        def kkt_solve(factors, qts, rts, x_init=None):
+            return lq_affine_solve(factors, As, Bs, qts, rts, x_init=x_init)
+
     def rollout(us):
         def rollout_step(x, inputs):
             Ak, Bk, u = inputs
@@ -391,8 +421,8 @@ def stagewise_ip_solve(
         # and state-bound violations stay at closed-loop magnitudes — far better
         # conditioned than either a zero trajectory or the raw (possibly wildly
         # infeasible) unconstrained optimum.
-        factors0 = lq_factor(As, Bs, Q_full, Rs)
-        _, us_free = lq_affine_solve(factors0, As, Bs, q_lin, r_lin, x_init=x0)
+        factors0 = kkt_factor(Q_full, Rs)
+        _, us_free = kkt_solve(factors0, q_lin, r_lin, x_init=x0)
         margin = 1e-3 * jnp.minimum(jnp.abs(u_lb) + 1.0, jnp.abs(u_ub) + 1.0)
         lo = jnp.where(jnp.isfinite(u_lb), u_lb + margin, -_BIG)
         hi = jnp.where(jnp.isfinite(u_ub), u_ub - margin, _BIG)
@@ -427,7 +457,7 @@ def stagewise_ip_solve(
             us, bu, u_lb, u_ub, sig_mu, corr_ul, corr_uu
         )
         qts = jnp.concatenate([jnp.zeros((1, nx), dt), g_x], axis=0)
-        dxs, dus = lq_affine_solve(factors, As, Bs, qts, g_u)
+        dxs, dus = kkt_solve(factors, qts, g_u)
         dbx = _bound_step(xs[1:], bx, x_lb, x_ub, dxs[1:], sig_mu, corr_xl, corr_xu)
         dbu = _bound_step(us, bu, u_lb, u_ub, dus, sig_mu, corr_ul, corr_uu)
         return dxs, dus, dbx, dbu
@@ -441,7 +471,7 @@ def stagewise_ip_solve(
         sig_u = _sigma_diag(bu, u_lb, u_ub)  # (N, nu)
         Qts = Q_full.at[1:].add(jax.vmap(jnp.diag)(sig_x))
         Rts = Rs + jax.vmap(jnp.diag)(sig_u)
-        factors = lq_factor(As, Bs, Qts, Rts)
+        factors = kkt_factor(Qts, Rts)
 
         zeros_corr = (
             jnp.zeros_like(sig_x),
@@ -530,13 +560,13 @@ def stagewise_ip_solve(
     rho_u = rho * act_u_
     Qts_p = Q_full.at[1:].add(jax.vmap(jnp.diag)(rho_x))
     Rts_p = Rs + jax.vmap(jnp.diag)(rho_u)
-    factors_p = lq_factor(As, Bs, Qts_p, Rts_p)
+    factors_p = kkt_factor(Qts_p, Rts_p)
 
     def al_pass(carry, _):
         lh_x, lh_u = carry
         qts_p = q_lin.at[1:].add(act_x * (lh_x - rho_x * tgt_x))
         rts_p = r_lin + act_u_ * (lh_u - rho_u * tgt_u)
-        xs_p, us_p = lq_affine_solve(factors_p, As, Bs, qts_p, rts_p, x_init=x0)
+        xs_p, us_p = kkt_solve(factors_p, qts_p, rts_p, x_init=x0)
         lh_x = lh_x + rho_x * (xs_p[1:] - tgt_x) * act_x
         lh_u = lh_u + rho_u * (us_p - tgt_u) * act_u_
         return (lh_x, lh_u), (xs_p, us_p)
@@ -626,12 +656,14 @@ class StagewiseMPC:
     u_ub: jnp.ndarray
     N: int = static_field(default=20)
     iters: int = static_field(default=20)
+    parallel: bool = static_field(default=False)
 
     def solve(self, x0: jnp.ndarray, u_warm: jnp.ndarray | None = None):
         return stagewise_ip_solve(
             self.A, self.B, self.Q, self.R, self.Pf,
             self.x_lb, self.x_ub, self.u_lb, self.u_ub,
             x0, u_init=u_warm, N=self.N, iters=self.iters,
+            parallel=self.parallel,
         )
 
     def policy(self):
@@ -663,6 +695,7 @@ def make_stagewise_mpc(
     dtype=jnp.float32,
     N: int | None = None,
     terminal: str = "Q",
+    parallel: bool = False,
 ) -> StagewiseMPC:
     """Build a :class:`StagewiseMPC` from session-2/3 ``Problem`` data.
 
@@ -690,4 +723,5 @@ def make_stagewise_mpc(
         u_ub=jnp.asarray([problem.u_max], dtype=dtype),
         N=N if N is not None else problem.N,
         iters=iters,
+        parallel=parallel,
     )

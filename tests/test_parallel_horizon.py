@@ -9,8 +9,13 @@ import model_predictive_control_tpu as mpc
 from model_predictive_control_tpu.control.simulate import rollout
 from model_predictive_control_tpu.ops.parallel_horizon import (
     affine_rollout_parallel,
+    lqt_solve_parallel,
     riccati_recursion_parallel,
     rollout_parallel,
+)
+from model_predictive_control_tpu.solvers.riccati_ip import (
+    lq_affine_solve,
+    lq_factor,
 )
 
 
@@ -113,6 +118,65 @@ class TestRiccatiParallel:
         assert Ps.shape == (3, 9, 2, 2)
         P_seq, _ = mpc.riccati_recursion(A, B, Q, R, 2.0 * Q, 8)
         np.testing.assert_allclose(Ps[1], P_seq, atol=1e-9)
+
+
+def _random_lqt(seed, N, nx, nu):
+    rng = np.random.default_rng(seed)
+    As = jnp.asarray(rng.normal(size=(N, nx, nx)) * 0.3 + np.eye(nx))
+    Bs = jnp.asarray(rng.normal(size=(N, nx, nu)))
+    Qts = jnp.asarray(
+        np.stack(
+            [
+                (lambda L: L @ L.T + np.eye(nx))(rng.normal(size=(nx, nx)))
+                for _ in range(N + 1)
+            ]
+        )
+    )
+    Rts = jnp.asarray(
+        np.stack([np.diag(rng.uniform(0.5, 2.0, nu)) for _ in range(N)])
+    )
+    qts = jnp.asarray(rng.normal(size=(N + 1, nx)))
+    rts = jnp.asarray(rng.normal(size=(N, nu)))
+    return As, Bs, Qts, Rts, qts, rts
+
+
+class TestLqtSolveParallel:
+    """The O(log N) affine LQT matches the sequential factor/affine-solve pair."""
+
+    @pytest.mark.parametrize("N", [1, 2, 7, 40])
+    def test_matches_sequential_newton_direction(self, N):
+        nx, nu = 3, 2
+        As, Bs, Qts, Rts, qts, rts = _random_lqt(11 + N, N, nx, nu)
+        factors = lq_factor(As, Bs, Qts, Rts)
+        dxs, dus = lq_affine_solve(factors, As, Bs, qts, rts)
+        xs, us = lqt_solve_parallel(
+            As, Bs, Qts, Rts, qts, rts, jnp.zeros((nx,), jnp.float64)
+        )
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(dxs), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(us), np.asarray(dus), atol=1e-9)
+
+    def test_nonzero_initial_state(self):
+        N, nx, nu = 12, 4, 2
+        As, Bs, Qts, Rts, qts, rts = _random_lqt(3, N, nx, nu)
+        x0 = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+        factors = lq_factor(As, Bs, Qts, Rts)
+        dxs, dus = lq_affine_solve(factors, As, Bs, qts, rts, x_init=x0)
+        xs, us = lqt_solve_parallel(As, Bs, Qts, Rts, qts, rts, x0)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(dxs), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(us), np.asarray(dus), atol=1e-8)
+
+    def test_jit_vmap_over_x0(self):
+        N, nx, nu = 8, 2, 1
+        As, Bs, Qts, Rts, qts, rts = _random_lqt(5, N, nx, nu)
+        x0s = jnp.asarray(np.random.default_rng(9).normal(size=(4, nx)))
+        f = jax.jit(
+            jax.vmap(lambda x0: lqt_solve_parallel(As, Bs, Qts, Rts, qts, rts, x0))
+        )
+        xs, us = f(x0s)
+        assert xs.shape == (4, N + 1, nx) and us.shape == (4, N, nu)
+        factors = lq_factor(As, Bs, Qts, Rts)
+        _, us1 = lq_affine_solve(factors, As, Bs, qts, rts, x_init=x0s[2])
+        np.testing.assert_allclose(np.asarray(us[2]), np.asarray(us1), atol=1e-8)
 
 
 def test_solve_finite_horizon_parallel_flag():

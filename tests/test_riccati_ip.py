@@ -225,6 +225,26 @@ def test_closed_loop_brakes_like_condensed():
     )
 
 
+@pytest.mark.parametrize("N", [20, 100])
+def test_parallel_kkt_matches_sequential(N):
+    """parallel=True (associative-scan LQT inner solver) reproduces the
+    sequential-Riccati IP solution on the session-2 family."""
+    problem = mpc.session2_problem(N=N)
+    sys_, Q, R, x_lb, x_ub, u_lb, u_ub = _problem_data(problem)
+    x0 = jnp.asarray([-140.0, 24.0], jnp.float64)
+    seq = stagewise_ip_solve(
+        sys_.A, sys_.B, Q, R, Q, x_lb, x_ub, u_lb, u_ub, x0, N=N, iters=20
+    )
+    par = stagewise_ip_solve(
+        sys_.A, sys_.B, Q, R, Q, x_lb, x_ub, u_lb, u_ub, x0, N=N, iters=20,
+        parallel=True,
+    )
+    assert bool(seq.success) and bool(par.success)
+    np.testing.assert_allclose(
+        np.asarray(par.us), np.asarray(seq.us), atol=1e-6
+    )
+
+
 def test_ltv_stacked_dynamics():
     """Per-stage (A_k, B_k) stacks solve the time-varying problem (SQP-inner
     shape); verified against the dense KKT equality-constrained solution when no
