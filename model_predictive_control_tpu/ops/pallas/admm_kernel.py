@@ -11,12 +11,17 @@ iteration count.
 Design:
 - grid over scenario tiles (``tile`` scenarios per program); shared operator data
   (A_s, P_s, ρ-ladder KKT inverses) broadcast to every program;
-- batch-in-sublanes layout: iterates are (tile, n)/(tile, m), so every matmul is a
-  (tile × k) @ (k × n) MXU op with the batch as the M dimension;
+- batch-in-sublanes layout with fused iterations: the ADMM update is affine in
+  G = [x | ρz − y], so each iteration is ONE (tile, n+m) @ (n+m, n+m) MXU op
+  against a per-ρ-level matrix W (4 padded MXU tiles vs 12 for the three-matmul
+  form), run as a manual 3-pass bf16 split (`_dot3`, ~1e-6 relative);
 - ρ adaptation per tile between chunks (the XLA path adapts per scenario; within a
   warm-started closed loop tiles behave homogeneously, and a shared ρ keeps the
   KKT-inverse select a cheap one-hot contraction instead of a per-row gather);
-- polish and final residuals stay in the XLA path (once per solve, not hot).
+- residual/convergence/polish matmuls stay Precision.HIGHEST — they gate exits
+  and the success mask right at the tolerance threshold;
+- in-kernel CG active-set polish, gated on non-convergence (~99% of warm-started
+  tiles exit converged and skip it); final residuals in the XLA wrapper.
 
 The public wrapper :func:`admm_solve_pallas` mirrors ``vmap(admm_solve)`` and falls
 back to interpreter mode off-TPU (tests run it on CPU via ``interpret=True``).
@@ -28,21 +33,49 @@ import functools
 
 import jax
 import jax.numpy as jnp
-
-# In-kernel matmuls must not fall back to single-pass bf16 on the MXU: solver
-# accuracy collapses (measured: closed-loop success 0.44 vs 0.98 in interpret
-# mode). HIGHEST = full f32 via multi-pass.
-_DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...solvers.qp import QPOperator, QPSolution, _unscaled_residuals
 from ...utils.precision import solver_precision
 
+# In-kernel matmuls must not fall back to single-pass bf16 on the MXU: solver
+# accuracy collapses (measured: closed-loop success 0.44 vs 0.98 in interpret
+# mode). HIGHEST = full f32 via multi-pass (6 bf16 MXU passes).
+_DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+# DEFAULT precision for pre-split bf16 operands (single MXU pass each). The
+# solver_precision context pins HIGHEST globally, which Mosaic rejects for
+# bf16 operands — so it must be explicit here.
+_DOT_BF16 = dict(
+    preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
+)
+
+
+def _split_bf16(a):
+    """Split f32 into (hi, lo) bf16 parts with hi + lo ≈ a (error ~2⁻²²·|a|)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b_split):
+    """3-pass f32-emulated matmul: a @ B with B pre-split by :func:`_split_bf16`.
+
+    Drops the lo·lo term (≲2⁻⁴⁴ relative) — ~1e-6 relative error against the
+    solver's 1e-4 tolerance, at HALF the MXU passes of ``Precision.HIGHEST``
+    (Mosaic has no ``Precision.HIGH`` lowering, so the split is manual).
+    """
+    b_hi, b_lo = b_split
+    a_hi, a_lo = _split_bf16(a)
+    return jnp.dot(a_hi, b_hi, **_DOT_BF16) + (
+        jnp.dot(a_hi, b_lo, **_DOT_BF16) + jnp.dot(a_lo, b_hi, **_DOT_BF16)
+    )
+
 
 def _admm_tile_kernel(
     # shared operator blocks
-    Minv_ref,  # (R, n, n)
+    W_ref,  # (R, n+m, n+m) fused iteration matrix per ρ level (see below)
+    Wq_ref,  # (R, n, n+m) constant q-term matrix per ρ level
     A_ref,  # (m, n)
     At_ref,  # (n, m)
     P_ref,  # (n, n)
@@ -65,6 +98,7 @@ def _admm_tile_kernel(
     *,
     iters: int,
     chunks: int,
+    probe_iters: int,
     n_levels: int,
     init_idx: int,
     cg_polish: bool,
@@ -80,8 +114,10 @@ def _admm_tile_kernel(
     # non-128-aligned tiles hits Mosaic 'Offset change')
     P = P_ref[:]
     rho2 = rho_ref[:]  # (R, 1) — keep 2D throughout for Mosaic
-    sigma = par_ref[0, 0]
     alpha = par_ref[1, 0]
+    n = q.shape[1]
+    m = l.shape[1]
+    T = q.shape[0]
 
     Einv = Einv_ref[:]
     Dcinv = Dcinv_ref[:]
@@ -92,11 +128,26 @@ def _admm_tile_kernel(
     # scale throttles exits to 2.1M solves/s, both measured).
     scale_u = 1.0 + jnp.max(jnp.abs(q) * Dcinv, axis=1, keepdims=True)
 
+    # Fused concatenated-lane formulation. The ADMM update is affine in
+    # G = [x | ρz − y]: with W's row blocks [σM⁻¹ | σM⁻¹Aᵀ ; AM⁻¹ | AM⁻¹Aᵀ]
+    # and the constant q-term XZq = q·[−M⁻¹ | −M⁻¹Aᵀ], one (T, n+m)@(n+m, n+m)
+    # MXU op yields [x̃ | z̃] per iteration where the separate-buffer kernel
+    # needed three (12 padded MXU tiles vs 4 — measured 2.0x wall time at the
+    # headline config). Relaxation, clip, and the dual update act uniformly on
+    # the concatenated lanes: the x-lanes carry bounds ±1e19 (never clip) and
+    # a zero dual that provably stays zero.
     x = x0_ref[:]
-    y = y0_ref[:]
-    z = jnp.clip(
-        jnp.dot(x, At, **_DOT), l, u
-    )
+    y0 = y0_ref[:]
+    z0 = jnp.clip(jnp.dot(x, At, **_DOT), l, u)
+    C = jnp.concatenate([x, z0], axis=1)  # (T, n+m) primal [x | z]
+    Y = jnp.concatenate([jnp.zeros((T, n), f32), y0], axis=1)  # dual [0 | y]
+    big = jnp.float32(1e19)
+    Lc = jnp.concatenate([jnp.full((T, n), -big, f32), l], axis=1)
+    Uc = jnp.concatenate([jnp.full((T, n), big, f32), u], axis=1)
+    # lane scale S: x-lanes get 1/ρ so G's x block is exactly x (ρx/ρ)
+    lane_is_x = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, n + m), 1) < n
+    ).astype(f32)
 
     level_iota2 = jax.lax.broadcasted_iota(jnp.int32, (n_levels, 1), 0)
 
@@ -104,30 +155,55 @@ def _admm_tile_kernel(
         onehot2 = (level_iota2 == idx).astype(f32)  # (R, 1)
         # one-hot contraction as multiply+reduce — Mosaic cannot lower an
         # einsum with a leading shared contraction dim ("r,rij->ij")
-        Minv = jnp.sum(onehot2[:, :, None] * Minv_ref[:], axis=0)
+        W = jnp.sum(onehot2[:, :, None] * W_ref[:], axis=0)
+        Wq = jnp.sum(onehot2[:, :, None] * Wq_ref[:], axis=0)
         rho = jnp.sum(onehot2 * rho2)
-        return Minv, rho
+        return W, Wq, rho
 
-    chunk_len = max(1, iters // chunks)
+    # Chunk schedule: an optional short "exit probe" chunk first (warm-started
+    # closed-loop solves typically sit at the fixed point and can exit after a
+    # dozen iterations — waiting iters/chunks for the first convergence check
+    # wastes most of the budget), then uniform chunks covering the rest. The
+    # probe chunk never adapts ρ: adapting after so few iterations acts on
+    # transient residual ratios and measurably costs success rate.
+    probe = max(0, min(probe_iters, iters))
+    chunk_len = max(1, (iters - probe) // chunks)
+    n_chunks = chunks + (1 if probe else 0)
 
     def chunk_body(state):
-        x, z, y, idx, ci, _conv = state
-        Minv, rho = select_level(idx)
+        C, Y, idx, ci, _conv, _Ax, _Px, _Aty = state
+        is_probe = jnp.logical_and(ci == 0, jnp.int32(1 if probe else 0) > 0)
+        this_len = (
+            jnp.where(is_probe, jnp.int32(probe), jnp.int32(chunk_len))
+            if probe
+            else jnp.int32(chunk_len)
+        )
+        W, Wq, rho = select_level(idx)
+        W3 = _split_bf16(W)
+        # exact: error here is a constant bias shifting the fixed point
+        XZq = jnp.dot(q, Wq, **_DOT)  # (T, n+m), constant over the chunk
+        inv_rho = 1.0 / rho
+        S_lane = jnp.where(lane_is_x > 0.5, inv_rho, 1.0)
 
         def iter_body(_, carry):
-            x, z, y = carry
-            w = sigma * x - q + jnp.dot(rho * z - y, A, **_DOT)
-            x_t = jnp.dot(w, Minv, **_DOT)  # Minv symmetric
-            z_t = jnp.dot(x_t, At, **_DOT)
-            x_n = alpha * x_t + (1.0 - alpha) * x
-            z_pre = alpha * z_t + (1.0 - alpha) * z + y / rho
-            z_n = jnp.clip(z_pre, l, u)
-            y_n = y + rho * (alpha * z_t + (1.0 - alpha) * z - z_n)
-            return x_n, z_n, y_n
+            C, Y, G = carry
+            XZ = _dot3(G, W3) + XZq
+            T_ = alpha * XZ + (1.0 - alpha) * C
+            Cn = jnp.clip(T_ + inv_rho * Y, Lc, Uc)
+            Yn = Y + rho * (T_ - Cn)
+            Gn = (rho * Cn - Yn) * S_lane
+            return Cn, Yn, Gn
 
-        x, z, y = jax.lax.fori_loop(0, chunk_len, iter_body, (x, z, y))
+        G0 = (rho * C - Y) * S_lane
+        C, Y, _ = jax.lax.fori_loop(0, this_len, iter_body, (C, Y, G0))
+        x = C[:, :n]
+        z = C[:, n:]
+        y = Y[:, n:]
 
         # per-tile rho adaptation (OSQP-style normalized residual ratio)
+        # residuals gate the early exit right at the tolerance threshold —
+        # bf16x3 noise there measurably leaks failures (success 0.99 -> 0.89),
+        # so these stay full-precision (once per chunk, not hot)
         Ax = jnp.dot(x, At, **_DOT)
         Px = jnp.dot(x, P, **_DOT)
         Aty = jnp.dot(y, A, **_DOT)
@@ -140,13 +216,13 @@ def _admm_tile_kernel(
             jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
             jnp.maximum(jnp.max(jnp.abs(q)), 1e-10),
         )
-        _, rho_now = select_level(idx)
+        rho_now = rho
         target = rho_now * jnp.sqrt(rp_rel / jnp.maximum(rd_rel, 1e-16))
         # manual 2D argmin (1D argmin lowering is fragile in Mosaic)
         diff2 = jnp.abs(jnp.log(rho2) - jnp.log(jnp.maximum(target, 1e-12)))
         is_min = diff2 <= jnp.min(diff2)
-        big = jnp.int32(n_levels)
-        cand = jnp.min(jnp.where(is_min, level_iota2, big)).astype(jnp.int32)
+        big_i = jnp.int32(n_levels)
+        cand = jnp.min(jnp.where(is_min, level_iota2, big_i)).astype(jnp.int32)
         # Hysteresis (OSQP adaptive_rho_tolerance): only move on a >5x target
         # ratio, never once converged — re-adapting ρ on a warm-started,
         # already-converged tile kicks the iterate off the fixed point.
@@ -163,10 +239,11 @@ def _admm_tile_kernel(
             )
         )
         move = jnp.logical_or(target > 5.0 * rho_now, 5.0 * target < rho_now)
+        move = jnp.logical_and(move, jnp.logical_not(is_probe))
         new_idx = jnp.where(
             jnp.logical_and(move, jnp.logical_not(conv)), cand, idx
         )
-        return x, z, y, new_idx, ci + 1, conv
+        return C, Y, new_idx, ci + 1, conv, Ax, Px, Aty
 
     # Early exit per tile: warm-started closed-loop solves typically converge
     # in a fraction of the iteration budget, and the residuals needed for the
@@ -174,14 +251,24 @@ def _admm_tile_kernel(
     # iterations once its (scaled) residuals meet tolerance — worth ~2x wall
     # time at the headline config with identical success rates.
     def not_done(state):
-        _x, _z, _y, _idx, ci, conv = state
-        return jnp.logical_and(ci < chunks, jnp.logical_not(conv))
+        _C, _Y, _idx, ci, conv, *_ = state
+        return jnp.logical_and(ci < n_chunks, jnp.logical_not(conv))
 
-    state = (x, z, y, jnp.int32(init_idx), jnp.int32(0), jnp.asarray(False))
+    # the trailing (Ax, Px, Aty) carry the final chunk's residual products out
+    # of the loop so the polish can reuse them for its res0 baseline (zeros are
+    # placeholders: the loop always runs >= 1 chunk)
+    state = (
+        C, Y, jnp.int32(init_idx), jnp.int32(0), jnp.asarray(False),
+        jnp.zeros((T, m), f32), jnp.zeros((T, n), f32), jnp.zeros((T, n), f32),
+    )
     state = jax.lax.while_loop(not_done, chunk_body, state)
-    x, z, y, _, _, _ = state
+    C, Y, _, _, conv_final, Ax_f, Px_f, Aty_f = state
+    x = C[:, :n]
+    z = C[:, n:]
+    y = Y[:, n:]
 
-    if cg_polish:
+    def polish_branch(ops):
+        x, z, y = ops
         # Matrix-free active-set polish in scaled space. Eliminating x from the
         # equality-KKT system on the detected active set gives the Schur system
         #   M ν = −d∘(b + A P⁻¹ q),  M v = d∘(S (d∘v)) + (1−d)∘v
@@ -211,8 +298,21 @@ def _admm_tile_kernel(
         def rowsum(a):
             return jnp.sum(a, axis=1, keepdims=True)
 
-        def cg_body(_, carry):
-            nu, r, pvec, rs = carry
+        # CG with early exit on its own (already-computed) residual: cold
+        # solves with large active sets run the full depth, warm solves with
+        # small active sets exit in a handful of iterations — a fixed shallow
+        # depth (cg_iters=16) under-converges cold solves (measured: dual
+        # residual 8e-4 vs 4e-5, convergence flags lost), a fixed deep depth
+        # costs the hot path ~20% wall time.
+        rs0 = rowsum(rhs * rhs)
+
+        def cg_cond(carry):
+            i, _nu, _r, _p, rs = carry
+            not_solved = jnp.max(rs / jnp.maximum(rs0, 1e-30)) > 1e-12
+            return jnp.logical_and(i < cg_iters, not_solved)
+
+        def cg_body(carry):
+            i, nu, r, pvec, rs = carry
             Mp = Mv(pvec)
             a_cg = rs / jnp.maximum(rowsum(pvec * Mp), 1e-30)
             nu = nu + a_cg * pvec
@@ -220,48 +320,45 @@ def _admm_tile_kernel(
             rs_new = rowsum(r * r)
             beta = rs_new / jnp.maximum(rs, 1e-30)
             pvec = r + beta * pvec
-            return nu, r, pvec, rs_new
+            return i + 1, nu, r, pvec, rs_new
 
         nu0 = jnp.zeros_like(rhs)
-        nu, _, _, _ = jax.lax.fori_loop(
-            0, cg_iters, cg_body, (nu0, rhs, rhs, rowsum(rhs * rhs))
+        _, nu, _, _, _ = jax.lax.while_loop(
+            cg_cond, cg_body, (jnp.int32(0), nu0, rhs, rhs, rs0)
         )
 
         y_p = d * nu
-        x_p = -jnp.dot(
-            q + jnp.dot(y_p, A, **_DOT),
-            Pinv,
-            **_DOT,
-        )
-        z_p = jnp.clip(jnp.dot(x_p, At, **_DOT), l, u)
+        x_p = -jnp.dot(q + jnp.dot(y_p, A, **_DOT), Pinv, **_DOT)
+        Az_p = jnp.dot(x_p, At, **_DOT)  # reused for z_p AND the finite test
+        z_p = jnp.clip(Az_p, l, u)
 
         def rowmax(a):
             return jnp.max(a, axis=1, keepdims=True)
 
-        def scaled_res(xx, zz, yy):
-            Ax = jnp.dot(xx, At, **_DOT)
-            rp = rowmax(jnp.abs(Ax - zz))
-            rd = rowmax(
-                jnp.abs(
-                    jnp.dot(xx, P, **_DOT)
-                    + q
-                    + jnp.dot(yy, A, **_DOT)
-                )
-            )
+        def res_from(Axx, Pxx, Atyy, zz):
+            rp = rowmax(jnp.abs(Axx - zz))
+            rd = rowmax(jnp.abs(Pxx + q + Atyy))
             return jnp.maximum(rp, rd)
 
-        res0 = scaled_res(x, z, y)
-        res1 = scaled_res(x_p, z_p, y_p)
+        # res0 reuses the final chunk's products (same x, z, y by construction)
+        res0 = res_from(Ax_f, Px_f, Aty_f, z)
+        res1 = res_from(
+            Az_p, jnp.dot(x_p, P, **_DOT), jnp.dot(y_p, A, **_DOT), z_p
+        )
         stol = 1e-7
         sign_bad = rowmax(
             jnp.where(low & (y_p > stol), 1.0, 0.0)
             + jnp.where(up & (y_p < -stol), 1.0, 0.0)
         )
-        finite = rowmax(jnp.where(jnp.isfinite(x_p @ At), 0.0, 1.0))
+        finite = rowmax(jnp.where(jnp.isfinite(Az_p), 0.0, 1.0))
         accept = (res1 < res0) & (sign_bad < 0.5) & (finite < 0.5)
         x = jnp.where(accept, x_p, x)
         z = jnp.where(accept, z_p, z)
         y = jnp.where(accept, y_p, y)
+        return x, z, y
+
+    if cg_polish:
+        x, z, y = polish_branch((x, z, y))
 
     x_out[:] = x
     z_out[:] = z
@@ -271,7 +368,8 @@ def _admm_tile_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iters", "chunks", "tile", "interpret", "polish", "cg_iters", "eps_abs"
+        "iters", "chunks", "probe_iters", "tile", "interpret", "polish",
+        "cg_iters", "eps_abs"
     ),
 )
 @solver_precision
@@ -283,7 +381,8 @@ def admm_solve_pallas(
     warm_x: jnp.ndarray | None = None,  # (B, n) unscaled
     warm_y: jnp.ndarray | None = None,  # (B, m) unscaled
     iters: int = 100,
-    chunks: int = 4,
+    chunks: int = 2,
+    probe_iters: int = 32,
     tile: int = 256,
     cg_iters: int = 40,
     alpha: float = 1.6,
@@ -331,6 +430,7 @@ def admm_solve_pallas(
         _admm_tile_kernel,
         iters=iters,
         chunks=chunks,
+        probe_iters=probe_iters,
         n_levels=R,
         init_idx=int(R // 2),
         cg_polish=polish,
@@ -338,6 +438,24 @@ def admm_solve_pallas(
         eps_abs=float(eps_abs),
     )
     par = jnp.stack([op.sigma.astype(f32), jnp.asarray(alpha, f32)])[:, None]
+
+    # Fused per-level iteration matrices (see kernel docstring): one
+    # (T, n+m)@(n+m, n+m) MXU op per ADMM iteration replaces the three
+    # small matmuls of the separate-buffer formulation. Built once per jit
+    # trace in the operator's own precision, then cast.
+    At_s = op.A_s.T
+    MA = jax.vmap(lambda M: M @ At_s)(op.Minv_stack)  # (R, n, m)
+    AM = jax.vmap(lambda M: op.A_s @ M)(op.Minv_stack)  # (R, m, n)
+    AMA = jax.vmap(lambda G: G @ At_s)(AM)  # (R, m, m)
+    sig = op.sigma
+    W_stack = jnp.concatenate(
+        [
+            jnp.concatenate([sig * op.Minv_stack, sig * MA], axis=2),
+            jnp.concatenate([AM, AMA], axis=2),
+        ],
+        axis=1,
+    )  # (R, n+m, n+m)
+    Wq_stack = jnp.concatenate([-op.Minv_stack, -MA], axis=2)  # (R, n, n+m)
 
     shared = lambda *shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -350,7 +468,8 @@ def admm_solve_pallas(
         kernel,
         grid=(Bp // tile,),
         in_specs=[
-            shared(R, n, n),
+            shared(R, n + m, n + m),
+            shared(R, n, n + m),
             shared(m, n),
             shared(n, m),
             shared(n, n),
@@ -374,7 +493,8 @@ def admm_solve_pallas(
         ],
         interpret=interpret,
     )(
-        op.Minv_stack.astype(f32),
+        W_stack.astype(f32),
+        Wq_stack.astype(f32),
         op.A_s.astype(f32),
         op.A_s.T.astype(f32),
         op.P_s.astype(f32),
