@@ -64,6 +64,10 @@ def main(argv=None) -> int:
     pw.add_argument("--horizon", type=int, default=30)
     pw.add_argument("--rel-scale", type=float, default=0.1)
     pw.add_argument("--controller-knows", action="store_true")
+    pw.add_argument(
+        "--solver", choices=("ilqr", "sqp"), default="ilqr",
+        help="per-step optimizer; ilqr (AL-iLQR) is the throughput path",
+    )
     pw.add_argument("--sqp-iters", type=int, default=15)
     pw.add_argument("--checkpoint", default=None)
     pw.add_argument("--checkpoint-every", type=int, default=0)
@@ -128,6 +132,7 @@ def main(argv=None) -> int:
                 N=args.horizon,
                 rel_scale=args.rel_scale,
                 controller_knows=args.controller_knows,
+                solver=args.solver,
                 sqp_iters=args.sqp_iters,
                 mesh=mesh,
                 checkpoint_path=args.checkpoint,

@@ -5,9 +5,10 @@ The reference's robustness axis is a single hand-coded mismatch — exercise 5
 rebuilds the plant with ``friction *= 0.8`` and re-simulates once
 (``session4_sol.py:410-411, 461-465``). Here that axis is *batched*: a
 :class:`~..models.parameters.VehicleParameters` whose leaves carry a scenario
-dimension, a plant vmapped over those leaves, and a receding-horizon SQP
-controller solved per scenario — all inside one jitted scan, shardable over a
-device mesh on the data axis.
+dimension, a plant vmapped over those leaves, and a receding-horizon
+nonlinear-MPC controller (AL-iLQR by default, SQP selectable) solved per
+scenario — all inside one jitted scan, shardable over a device mesh on the
+data axis.
 
 Design note (TPU): the controller OCP is rebuilt *inside* the vmapped solve when
 per-scenario model parameters are requested (``controller_knows=True``) — OCP
@@ -29,10 +30,12 @@ from ..control.batch_loop import BatchSimResult, simulate_batch
 from ..models.bicycle import NU, kinematic_bicycle_ode
 from ..models.parameters import VehicleParameters
 from ..ops.integrators import rk4_fine
+from ..solvers.ilqr import al_ilqr_solve
 from ..solvers.parking import (
     Q_MAIN,
     QN_SCALE_MAIN,
     R_MAIN,
+    make_parking_ilqr,
     make_parking_ocp,
 )
 from ..solvers.sqp import sqp_solve
@@ -69,13 +72,35 @@ def perturb_parameters(
 
 def random_initial_states(
     key, batch: int, center=(0.3, -0.1, 0.0, 0.0), spread=(0.2, 0.15, 0.3, 0.05),
-    dtype=jnp.float32,
+    x_obs=None, clearance: float = 0.13, dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """(batch, 4) initial poses around the session-4 start (``main.py:243``)."""
+    """(batch, 4) initial poses around the session-4 start (``main.py:243``).
+
+    ``x_obs``: optional obstacle pose — sampled positions inside ``clearance``
+    of it are projected radially onto the clearance circle, so every scenario
+    *starts* collision-feasible (the covering-circle clearance between two
+    3-circle covers of the 0.17×0.08 car is ≈0.098 m; the default adds margin).
+    Without this, a fraction of the uniform box around the session-4 start
+    overlaps the obstacle and no controller can satisfy the stage-0 constraint
+    — the solver then honestly reports a violation it cannot repair.
+    """
     center = jnp.asarray(center, dtype=dtype)
     spread = jnp.asarray(spread, dtype=dtype)
     u = jax.random.uniform(key, (batch, 4), minval=-1.0, maxval=1.0, dtype=dtype)
-    return center + u * spread
+    x0 = center + u * spread
+    if x_obs is not None:
+        p_obs = jnp.asarray(x_obs, dtype=dtype)[:2]
+        d = x0[:, :2] - p_obs
+        r = jnp.linalg.norm(d, axis=1, keepdims=True)
+        # direction for coincident samples: push along +x
+        dir_ = jnp.where(r > 1e-6, d / jnp.maximum(r, 1e-6),
+                         jnp.asarray([1.0, 0.0], dtype=dtype))
+        # strict no-op for samples already outside the clearance circle
+        p_fixed = jnp.where(
+            r < clearance, p_obs + dir_ * clearance, x0[:, :2]
+        )
+        x0 = x0.at[:, :2].set(p_fixed)
+    return x0
 
 
 def batched_parking_policy(
@@ -88,20 +113,30 @@ def batched_parking_policy(
     qn_scale: float = QN_SCALE_MAIN,
     sqp_iters: int = 15,
     qp_iters: int = 40,
+    solver: str = "ilqr",
+    outer_iters: int = 6,
+    inner_iters: int = 15,
     dtype=jnp.float32,
 ):
-    """Batch-level receding-horizon SQP policy for :func:`simulate_batch`.
+    """Batch-level receding-horizon nonlinear-MPC policy for
+    :func:`simulate_batch`.
 
     ``model_params`` leaves may be scalars (shared nominal model) or carry a
     leading scenario axis (per-scenario model). Carry = warm-start control
     trajectories ``(B, N·nu)``.
+
+    ``solver``: ``"sqp"`` (condensed-QP SQP, :func:`..solvers.sqp.sqp_solve`) or
+    ``"ilqr"`` (AL-iLQR, :func:`..solvers.ilqr.al_ilqr_solve`) — the latter is
+    the pod-scale throughput path: its per-iteration cost is O(N) Riccati sweeps
+    on nx=4 blocks instead of dense interior-point factorizations over the full
+    390-row constraint system, so it batches much harder on the MXU.
     """
     x_obs = None if x_obs is None else jnp.asarray(x_obs, dtype=dtype)
     batched_model = any(
         jnp.ndim(leaf) > 0 for leaf in jax.tree.leaves(model_params)
     )
 
-    def solve_one(params, x, u_warm):
+    def solve_one_sqp(params, x, u_warm):
         ocp = make_parking_ocp(
             params, N=N, ts=ts, x_obs=x_obs, Q=Q, R=R, qn_scale=qn_scale,
             dtype=dtype,
@@ -115,6 +150,34 @@ def batched_parking_policy(
             "viol": sol.viol,
         }
         return u_traj[0], u_next_warm, aux
+
+    def solve_one_ilqr(params, x, u_warm):
+        prob, cons, nc = make_parking_ilqr(
+            params, N=N, ts=ts, x_obs=x_obs, Q=Q, R=R, qn_scale=qn_scale,
+            dtype=dtype,
+        )
+        # success gate at the engine-wide 1e-4 accuracy level (BASELINE):
+        # f32 AL multipliers cannot certify 1e-6 on O(1)-magnitude rows
+        sol = al_ilqr_solve(
+            prob, cons, nc, x, u_init=u_warm.reshape(N, NU),
+            outer_iters=outer_iters, inner_iters=inner_iters, viol_tol=1e-4,
+        )
+        u_next_warm = jnp.concatenate(
+            [sol.us[1:], sol.us[-1:]], axis=0
+        ).reshape(-1)
+        aux = {
+            "solver_success": sol.converged,
+            "kkt_res": sol.viol,  # comparable per-step health scalar
+            "viol": sol.viol,
+        }
+        return sol.us[0], u_next_warm, aux
+
+    if solver == "sqp":
+        solve_one = solve_one_sqp
+    elif solver == "ilqr":
+        solve_one = solve_one_ilqr
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
 
     if batched_model:
         axes = jax.tree.map(
@@ -168,6 +231,9 @@ def parking_sweep(
     controller_knows: bool = False,
     sqp_iters: int = 15,
     qp_iters: int = 40,
+    solver: str = "ilqr",
+    outer_iters: int = 6,
+    inner_iters: int = 15,
     plant_substeps: int = 16,
     mesh=None,
     dtype=jnp.float32,
@@ -195,7 +261,7 @@ def parking_sweep(
         k_par, base, batch, rel_scale=rel_scale, fields=perturb_fields, dtype=dtype
     )
     model_params = plant_params if controller_knows else base
-    x0s = random_initial_states(k_x0, batch, dtype=dtype)
+    x0s = random_initial_states(k_x0, batch, x_obs=x_obs, dtype=dtype)
 
     if mesh is not None:
         sh = batch_sharding(mesh)
@@ -207,7 +273,8 @@ def parking_sweep(
 
     policy = batched_parking_policy(
         model_params, N=N, ts=ts, x_obs=x_obs,
-        sqp_iters=sqp_iters, qp_iters=qp_iters, dtype=dtype,
+        sqp_iters=sqp_iters, qp_iters=qp_iters, solver=solver,
+        outer_iters=outer_iters, inner_iters=inner_iters, dtype=dtype,
     )
     plant = batched_plant(plant_params, ts, substeps=plant_substeps)
 

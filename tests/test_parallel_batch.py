@@ -114,3 +114,63 @@ def _mid_carry(res_full, kwargs):
         **{**kwargs, "steps": 2},
     )
     return res_seg.final_carry
+
+
+def test_random_initial_states_respect_obstacle_clearance():
+    x_obs = (0.25, 0.0, 0.0, 0.0)
+    x0 = random_initial_states(
+        jax.random.PRNGKey(3), 256, x_obs=x_obs, clearance=0.13,
+        dtype=jnp.float64,
+    )
+    d = np.linalg.norm(np.asarray(x0[:, :2]) - np.asarray(x_obs[:2]), axis=1)
+    assert d.min() >= 0.13 - 1e-9
+    # samples already outside the clearance circle are untouched
+    x0_free = random_initial_states(
+        jax.random.PRNGKey(3), 256, dtype=jnp.float64
+    )
+    far = np.linalg.norm(np.asarray(x0_free[:, :2]) - np.asarray(x_obs[:2]), axis=1) >= 0.13
+    np.testing.assert_allclose(
+        np.asarray(x0)[far], np.asarray(x0_free)[far], rtol=0, atol=0
+    )
+
+
+def test_parking_sweep_ilqr_solver_runs_and_converges():
+    # obstacle run: wiring + finiteness (at N=6 the obstacle OCP is too short-
+    # horizon for high success; quality at real horizons is gated in
+    # tests/test_ilqr.py and was measured on TPU at N=30: success 0.91,
+    # parked_frac_5cm 0.998 over 50 steps x 2048 scenarios)
+    res, summary = parking_sweep(
+        batch=6, steps=3, rel_scale=0.1, solver="ilqr",
+        outer_iters=6, inner_iters=15, dtype=jnp.float64,
+        N=6, ts=0.1, plant_substeps=4,
+    )
+    assert res.states.shape == (4, 6, 4)
+    assert np.all(np.isfinite(np.asarray(res.states)))
+    assert "viol" in res.logs
+    # obstacle-free run (no nonconvex collision rows): must mostly converge
+    res2, summary2 = parking_sweep(
+        batch=6, steps=3, rel_scale=0.1, solver="ilqr", x_obs=None,
+        outer_iters=8, inner_iters=25, dtype=jnp.float64,
+        N=6, ts=0.1, plant_substeps=4,
+    )
+    assert summary2["success_rate"] > 0.6
+
+
+def test_parking_sweep_ilqr_matches_sqp_controls_coarsely():
+    """Both solver families optimize the same OCP. With the obstacle the problem
+    is nonconvex (solvers may legitimately pick different basins), so the
+    equivalence gate runs on the obstacle-free variant: first-step controls from
+    the same states must agree to MPC tolerance (not bitwise)."""
+    common = dict(
+        batch=4, steps=2, rel_scale=0.0, x_obs=None, dtype=jnp.float64,
+        N=6, ts=0.1, plant_substeps=4,
+    )
+    res_i, _ = parking_sweep(
+        solver="ilqr", outer_iters=12, inner_iters=40, **common
+    )
+    res_s, _ = parking_sweep(
+        solver="sqp", sqp_iters=12, qp_iters=40, **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_i.inputs), np.asarray(res_s.inputs), atol=5e-2
+    )
