@@ -1,0 +1,755 @@
+"""Fused batched AL-iLQR kernel (Pallas/Mosaic) — the nonlinear-MPC hot path.
+
+Motivation (measured): the XLA AL-iLQR path (``solvers/ilqr.py``) executes each
+backward/forward sweep as a ``lax.scan`` of tiny per-stage ops on (B, 4·4)-sized
+tensors — at N=30 and ~90 inner iterations that is thousands of sequential
+dispatches per MPC step, each paying fixed overhead and an HBM round-trip for
+tensors that fit in a handful of vector registers. At batch 2048 the closed-loop
+parking sweep ran at ~470 solves/s with the chip >99% idle.
+
+This kernel runs the ENTIRE augmented-Lagrangian iLQR solve (outer multiplier
+loop + inner Levenberg-iLQR + line search) for a tile of scenarios with all
+state resident in VMEM.
+
+Design:
+- **batch-in-lanes layout**: every per-stage quantity is a ``(rows, T)`` block —
+  state x is (4, T), control u is (2, T), the value Hessian Vxx is (16, T) with
+  row index 4·i+j. All linear algebra is 4×4/2×4/2×2 and is hand-expanded into
+  static-row FMAs on (1, T) slices, vectorized across the T scenarios in lanes.
+  The MXU is useless at these shapes; the VPU eats them.
+- **analytic derivatives**: the kinematic-bicycle Jacobians, the AL penalty
+  gradient/Hessian, and the covering-circle clearance derivatives are written
+  out by hand (``models/bicycle.py`` / ``utils/geometry.py`` math; β enters via
+  sinβ = K·tanδ/√(1+K²tan²δ) so no ``atan`` is needed). Exact Hessians —
+  including the constraint-curvature term act·∂²c — matching the XLA path's
+  ``jax.hessian``.
+- **trajectory buffers in VMEM scratch**: xs (N+1, 4, T), us, gains k/K, and the
+  AL multipliers λ (N, nc, T) stay on-chip for the whole solve; per tile the
+  only HBM traffic is one read of (x0, u_warm, per-scenario params) and one
+  write of (us, xs, viol, converged).
+- **per-scenario adaptivity**: Levenberg regularization, line-search acceptance,
+  best-α selection, μ escalation, and convergence masks are all (1, T) lanes —
+  finer-grained than the XLA path's per-solve scalars under vmap.
+- **early exits mirror the XLA path** (NaN-safe): the inner loop exits when
+  every lane's control-space gradient is 100× below tol; the outer loop exits
+  when every lane is primal-feasible with settled multipliers.
+
+The public wrapper :func:`al_ilqr_solve_pallas` mirrors
+``vmap(al_ilqr_solve)`` over scenarios for the parking OCP family
+(``solvers/parking.py::make_parking_ilqr`` semantics, reference
+``session_4/main.py:41-113``) and falls back to interpreter mode off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.pytree import pytree_dataclass
+
+NX = 4
+NU = 2
+ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
+
+
+@pytree_dataclass
+class BatchedALILQRSolution:
+    us: jnp.ndarray  # (B, N, 2)
+    xs: jnp.ndarray  # (B, N + 1, 4)
+    viol: jnp.ndarray  # (B,)
+    converged: jnp.ndarray  # (B,) bool
+
+
+def _alilqr_tile_kernel(
+    x0_ref,  # (4, T)
+    u0_ref,  # (N, 2, T)
+    pp_ref,  # (2, T): [acceleration, friction] per scenario
+    us_out,  # (N, 2, T)
+    xs_out,  # (N + 1, 4, T)
+    viol_out,  # (1, T)
+    conv_out,  # (1, T) 1.0/0.0 mask
+    # scratch
+    xs_s,  # (N + 1, 4, T) current trajectory
+    us_s,  # (N, 2, T) current controls
+    xs_c,  # (N + 1, 4, T) candidate trajectory
+    us_c,  # (N, 2, T) candidate controls
+    k_s,  # (N, 2, T) feedforward gains
+    K_s,  # (N, 8, T) feedback gains, row index 4*i+j for K[i, j]
+    lam_s,  # (N, NC, T) AL multipliers
+    *,
+    N: int,
+    nc: int,
+    n_circ: int,
+    ts: float,
+    geom: tuple,  # (KB, LR, offsets ox tuple, r2, obs centers ((qx, qy)*n))
+    limits: tuple,  # (lb_x(4), ub_x(4), lb_u(2), ub_u(2))
+    weights: tuple,  # (Qd(4), Rd(2), qn)
+    outer_iters: int,
+    inner_iters: int,
+    mu_init: float,
+    mu_scale: float,
+    mu_max: float,
+    viol_tol: float,
+    tol: float,
+    reg_init: float,
+    reg_min: float,
+    reg_max: float,
+):
+    f32 = jnp.float32
+    T = x0_ref.shape[-1]
+    KB, LR, OX, R2, OBS = geom
+    LBX, UBX, LBU, UBU = limits
+    QD, RD, QN = weights
+    has_obs = n_circ > 0
+
+    def row(ref_val, i):
+        return ref_val[i : i + 1]  # (1, T)
+
+    # ---- dynamics: one Euler step + Jacobian entries -------------------------
+    def dyn(x, u, acc, fric, want_jac):
+        """x (4,T), u (2,T) -> x_next (4,T) and (optionally) sparse A/B entries."""
+        px, py, psi, v = x[0:1], x[1:2], x[2:3], x[3:4]
+        a, dl = u[0:1], u[1:2]
+        t = jnp.tan(dl)
+        den2 = 1.0 + (KB * KB) * t * t
+        den = jnp.sqrt(den2)
+        sinb = KB * t / den
+        cosb = 1.0 / den
+        sp, cp = jnp.sin(psi), jnp.cos(psi)
+        s_pb = sp * cosb + cp * sinb  # sin(psi + beta)
+        c_pb = cp * cosb - sp * sinb  # cos(psi + beta)
+        xn = jnp.concatenate(
+            [
+                px + ts * v * c_pb,
+                py + ts * v * s_pb,
+                psi + ts * v * sinb / LR,
+                v + ts * (acc * a - fric * v),
+            ]
+        )
+        if not want_jac:
+            return xn, None
+        # dbeta/ddelta = KB sec^2(dl) / den2
+        bp = KB * (1.0 + t * t) / den2
+        jac = dict(
+            a02=-ts * v * s_pb,
+            a03=ts * c_pb,
+            a12=ts * v * c_pb,
+            a13=ts * s_pb,
+            a23=ts * sinb / LR,
+            a33=1.0 - ts * fric,
+            b01=-ts * v * s_pb * bp,
+            b11=ts * v * c_pb * bp,
+            b21=ts * v * cosb * bp / LR,
+            b30=ts * acc,
+        )
+        return xn, jac
+
+    # ---- constraints: rows, AL penalty value and derivatives -----------------
+    # row order matches solvers/parking.py::make_parking_ilqr:
+    #   [x - ub_x (4), lb_x - x (4), u - ub_u (2), lb_u - u (2), r2 - d^2 (n^2)]
+    def constraint_rows(x, u):
+        px, py, psi = x[0:1], x[1:2], x[2:3]
+        rows = []
+        for i in range(NX):
+            rows.append(x[i : i + 1] - UBX[i])
+        for i in range(NX):
+            rows.append(LBX[i] - x[i : i + 1])
+        for j in range(NU):
+            rows.append(u[j : j + 1] - UBU[j])
+        for j in range(NU):
+            rows.append(LBU[j] - u[j : j + 1])
+        if has_obs:
+            sp, cp = jnp.sin(psi), jnp.cos(psi)
+            for i in range(n_circ):
+                cx = px + OX[i] * cp
+                cy = py + OX[i] * sp
+                for j in range(n_circ):
+                    wx = cx - OBS[j][0]
+                    wy = cy - OBS[j][1]
+                    rows.append(R2 - (wx * wx + wy * wy))
+        return jnp.concatenate(rows)  # (nc, T)
+
+    def al_phi(c_rows, lam, mu):
+        """AL penalty value per scenario: sum((act^2 - lam^2) / (2 mu))."""
+        act = jnp.maximum(0.0, lam + mu * c_rows)
+        return jnp.sum(act * act - lam * lam, axis=0, keepdims=True) / (2.0 * mu)
+
+    def stage_cost_value(x, u, lam, mu):
+        c_rows = constraint_rows(x, u)
+        quad = sum(QD[i] * x[i : i + 1] * x[i : i + 1] for i in range(NX)) + sum(
+            RD[j] * u[j : j + 1] * u[j : j + 1] for j in range(NU)
+        )
+        return quad + al_phi(c_rows, lam, mu)
+
+    def terminal_cost_value(x):
+        return QN * sum(QD[i] * x[i : i + 1] * x[i : i + 1] for i in range(NX))
+
+    def stage_derivs(x, u, lam, mu):
+        """Gradients/Hessians of stage cost + AL penalty.
+
+        Returns lx (4,T), lu (2,T), lxx rows dict (symmetric entries), luu diag
+        (2,T). lux is identically zero (no constraint couples x and u; the
+        quadratic cost is separable)."""
+        px, py, psi = x[0:1], x[1:2], x[2:3]
+        # quadratic part
+        lx = [2.0 * QD[i] * x[i : i + 1] for i in range(NX)]
+        lu = [2.0 * RD[j] * u[j : j + 1] for j in range(NU)]
+        zero = jnp.zeros_like(px)
+        hxx = {}  # symmetric 4x4, keys (i, j) i<=j
+        for i in range(NX):
+            for j in range(i, NX):
+                hxx[(i, j)] = (2.0 * QD[i]) * jnp.ones_like(px) if i == j else zero
+        huu = [2.0 * RD[j] * jnp.ones_like(px) for j in range(NU)]
+
+        # state box rows: c = x_i - ub (grad +e_i) and c = lb - x_i (grad -e_i)
+        for i in range(NX):
+            cu = x[i : i + 1] - UBX[i]
+            cl = LBX[i] - x[i : i + 1]
+            act_u = jnp.maximum(0.0, lam[i : i + 1] + mu * cu)
+            act_l = jnp.maximum(0.0, lam[NX + i : NX + i + 1] + mu * cl)
+            lx[i] = lx[i] + act_u - act_l
+            ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
+            hxx[(i, i)] = hxx[(i, i)] + mu * ind
+        # input box rows
+        for j in range(NU):
+            cu = u[j : j + 1] - UBU[j]
+            cl = LBU[j] - u[j : j + 1]
+            act_u = jnp.maximum(0.0, lam[2 * NX + j : 2 * NX + j + 1] + mu * cu)
+            act_l = jnp.maximum(
+                0.0, lam[2 * NX + NU + j : 2 * NX + NU + j + 1] + mu * cl
+            )
+            lu[j] = lu[j] + act_u - act_l
+            ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
+            huu[j] = huu[j] + mu * ind
+
+        if has_obs:
+            sp, cp = jnp.sin(psi), jnp.cos(psi)
+            base = 2 * NX + 2 * NU
+            for i in range(n_circ):
+                cx = px + OX[i] * cp
+                cy = py + OX[i] * sp
+                # e = d(center)/d(psi), de/dpsi = -ox (cp, sp)
+                ex = -OX[i] * sp
+                ey = OX[i] * cp
+                for j in range(n_circ):
+                    r_idx = base + i * n_circ + j
+                    wx = cx - OBS[j][0]
+                    wy = cy - OBS[j][1]
+                    c = R2 - (wx * wx + wy * wy)
+                    act = jnp.maximum(0.0, lam[r_idx : r_idx + 1] + mu * c)
+                    ind = mu * (act > 0.0).astype(f32)
+                    # dc/d(px,py,psi)
+                    gx = -2.0 * wx
+                    gy = -2.0 * wy
+                    gpsi = -2.0 * (wx * ex + wy * ey)
+                    lx[0] = lx[0] + act * gx
+                    lx[1] = lx[1] + act * gy
+                    lx[2] = lx[2] + act * gpsi
+                    # Gauss-Newton term: ind * g g^T
+                    hxx[(0, 0)] = hxx[(0, 0)] + ind * gx * gx
+                    hxx[(0, 1)] = hxx[(0, 1)] + ind * gx * gy
+                    hxx[(0, 2)] = hxx[(0, 2)] + ind * gx * gpsi
+                    hxx[(1, 1)] = hxx[(1, 1)] + ind * gy * gy
+                    hxx[(1, 2)] = hxx[(1, 2)] + ind * gy * gpsi
+                    hxx[(2, 2)] = hxx[(2, 2)] + ind * gpsi * gpsi
+                    # exact curvature term: act * d2c
+                    # d2c/dp2 = -2 I, d2c/dp dpsi = -2 e,
+                    # d2c/dpsi2 = -2 (ox^2 - ox (wx cp + wy sp))
+                    hxx[(0, 0)] = hxx[(0, 0)] - 2.0 * act
+                    hxx[(1, 1)] = hxx[(1, 1)] - 2.0 * act
+                    hxx[(0, 2)] = hxx[(0, 2)] - 2.0 * act * ex
+                    hxx[(1, 2)] = hxx[(1, 2)] - 2.0 * act * ey
+                    d2psi = -2.0 * (
+                        OX[i] * OX[i] - OX[i] * (wx * cp + wy * sp)
+                    )
+                    hxx[(2, 2)] = hxx[(2, 2)] + act * d2psi
+        return lx, lu, hxx, huu
+
+    # ---- trajectory-wide helpers ---------------------------------------------
+    acc = pp_ref[0:1]
+    fric = pp_ref[1:2]
+
+    def rollout_into(xs_buf, us_from):
+        """Open-loop rollout of stored controls; writes states into xs_buf."""
+        xs_buf[0] = x0_ref[:]
+
+        def body(t_i, x):
+            u = us_from[t_i]
+            xn, _ = dyn(x, u, acc, fric, want_jac=False)
+            xs_buf[t_i + 1] = xn
+            return xn
+
+        jax.lax.fori_loop(0, N, body, x0_ref[:])
+
+    def total_cost(xs_buf, us_buf, mu):
+        def body(t_i, cost):
+            return cost + stage_cost_value(
+                xs_buf[t_i], us_buf[t_i], lam_s[t_i], mu
+            )
+
+        cost = jax.lax.fori_loop(0, N, body, jnp.zeros((1, T), f32))
+        return cost + terminal_cost_value(xs_buf[N])
+
+    # ---- backward pass --------------------------------------------------------
+    def backward(mu, reg):
+        """Riccati sweep over stored (xs_s, us_s); writes gains; returns
+        (ok (1,T), grad (1,T))."""
+        xN = xs_s[N]
+        Vx = jnp.concatenate([2.0 * QN * QD[i] * xN[i : i + 1] for i in range(NX)])
+        Vxx0 = [[None] * NX for _ in range(NX)]
+        zero = jnp.zeros((1, T), f32)
+        for i in range(NX):
+            for j in range(NX):
+                Vxx0[i][j] = (
+                    2.0 * QN * QD[i] * jnp.ones((1, T), f32) if i == j else zero
+                )
+        Vxx = jnp.concatenate([Vxx0[i][j] for i in range(NX) for j in range(NX)])
+
+        def body(s, carry):
+            Vx, Vxx, ok, grad = carry
+            t_i = N - 1 - s
+            x = xs_s[t_i]
+            u = us_s[t_i]
+            _, J = dyn(x, u, acc, fric, want_jac=True)
+            lx, lu, hxx, huu = stage_derivs(x, u, lam_s[t_i], mu)
+            a02, a03 = J["a02"], J["a03"]
+            a12, a13 = J["a12"], J["a13"]
+            a23, a33 = J["a23"], J["a33"]
+            b01, b11, b21, b30 = J["b01"], J["b11"], J["b21"], J["b30"]
+
+            def V(i, j):
+                return Vxx[4 * i + j : 4 * i + j + 1]
+
+            Vx0, Vx1, Vx2, Vx3 = Vx[0:1], Vx[1:2], Vx[2:3], Vx[3:4]
+            # Qx = lx + A^T Vx (A = I + sparse, columns 2 and 3 carry entries)
+            Qx0 = lx[0] + Vx0
+            Qx1 = lx[1] + Vx1
+            Qx2 = lx[2] + Vx2 + a02 * Vx0 + a12 * Vx1
+            Qx3 = lx[3] + a03 * Vx0 + a13 * Vx1 + a23 * Vx2 + a33 * Vx3
+            # Qu = lu + B^T Vx
+            Qu0 = lu[0] + b30 * Vx3
+            Qu1 = lu[1] + b01 * Vx0 + b11 * Vx1 + b21 * Vx2
+            # M = Vxx A  (M[i][j])
+            M = [[None] * NX for _ in range(NX)]
+            for i in range(NX):
+                M[i][0] = V(i, 0)
+                M[i][1] = V(i, 1)
+                M[i][2] = V(i, 0) * a02 + V(i, 1) * a12 + V(i, 2)
+                M[i][3] = (
+                    V(i, 0) * a03 + V(i, 1) * a13 + V(i, 2) * a23 + V(i, 3) * a33
+                )
+            # Qxx = lxx + A^T M (rows 2, 3 pick up the sparse column entries)
+            Qxx = [[None] * NX for _ in range(NX)]
+            for j in range(NX):
+                Qxx[0][j] = M[0][j]
+                Qxx[1][j] = M[1][j]
+                Qxx[2][j] = a02 * M[0][j] + a12 * M[1][j] + M[2][j]
+                Qxx[3][j] = (
+                    a03 * M[0][j] + a13 * M[1][j] + a23 * M[2][j] + a33 * M[3][j]
+                )
+            for i in range(NX):
+                for j in range(i, NX):
+                    h = hxx[(i, j)]
+                    Qxx[i][j] = Qxx[i][j] + h
+                    if i != j:
+                        Qxx[j][i] = Qxx[j][i] + h
+            # symmetrize (floating-point drift)
+            for i in range(NX):
+                for j in range(i + 1, NX):
+                    sym = 0.5 * (Qxx[i][j] + Qxx[j][i])
+                    Qxx[i][j] = sym
+                    Qxx[j][i] = sym
+            # Quu = luu + B^T Vxx B   (B columns: u0 -> e3*b30, u1 -> (b01,b11,b21))
+            q00 = huu[0] + b30 * b30 * V(3, 3)
+            q01 = b30 * (V(3, 0) * b01 + V(3, 1) * b11 + V(3, 2) * b21)
+            q11 = huu[1] + (
+                b01 * (V(0, 0) * b01 + V(0, 1) * b11 + V(0, 2) * b21)
+                + b11 * (V(1, 0) * b01 + V(1, 1) * b11 + V(1, 2) * b21)
+                + b21 * (V(2, 0) * b01 + V(2, 1) * b11 + V(2, 2) * b21)
+            )
+            # Qux = B^T M  (2 x 4)
+            Qux0 = [b30 * M[3][j] for j in range(NX)]
+            Qux1 = [b01 * M[0][j] + b11 * M[1][j] + b21 * M[2][j] for j in range(NX)]
+            # regularized 2x2 solve (closed form)
+            q00r = q00 + reg
+            q11r = q11 + reg
+            det = q00r * q11r - q01 * q01
+            # f32 mask, not bool: Mosaic cannot legalize i1 vectors carried
+            # through scf.for ("failed to legalize operation 'scf.for'")
+            ok_t = ((q00r > 0.0) & (det > 0.0)).astype(f32)
+            det_safe = jnp.where(det > 0.0, det, jnp.ones_like(det))
+            i00 = q11r / det_safe
+            i11 = q00r / det_safe
+            i01 = -q01 / det_safe
+            k0 = -(i00 * Qu0 + i01 * Qu1)
+            k1 = -(i01 * Qu0 + i11 * Qu1)
+            K0 = [-(i00 * Qux0[j] + i01 * Qux1[j]) for j in range(NX)]
+            K1 = [-(i01 * Qux0[j] + i11 * Qux1[j]) for j in range(NX)]
+            # Vx' = Qx + K^T (Quu k + Qu) + Qux^T k  (UNregularized Quu)
+            g0 = q00 * k0 + q01 * k1 + Qu0
+            g1 = q01 * k0 + q11 * k1 + Qu1
+            Vx_n = jnp.concatenate(
+                [
+                    [Qx0, Qx1, Qx2, Qx3][j]
+                    + K0[j] * g0
+                    + K1[j] * g1
+                    + Qux0[j] * k0
+                    + Qux1[j] * k1
+                    for j in range(NX)
+                ]
+            )
+            # Vxx' = Qxx + K^T Quu K + K^T Qux + Qux^T K, symmetrized
+            rows = []
+            KQ0 = [q00 * K0[j] + q01 * K1[j] for j in range(NX)]  # (Quu K) row 0
+            KQ1 = [q01 * K0[j] + q11 * K1[j] for j in range(NX)]
+            for i in range(NX):
+                for j in range(NX):
+                    vij = (
+                        Qxx[i][j]
+                        + K0[i] * KQ0[j]
+                        + K1[i] * KQ1[j]
+                        + K0[i] * Qux0[j]
+                        + K1[i] * Qux1[j]
+                        + Qux0[i] * K0[j]
+                        + Qux1[i] * K1[j]
+                    )
+                    rows.append(vij)
+            Vxx_n = jnp.concatenate(rows)
+            # symmetrize in concatenated form: 0.5 (V + V^T) done above per-entry
+            # store gains
+            k_s[t_i] = jnp.concatenate([k0, k1])
+            K_s[t_i] = jnp.concatenate(K0 + K1)
+            grad_n = jnp.maximum(grad, jnp.maximum(jnp.abs(Qu0), jnp.abs(Qu1)))
+            return Vx_n, Vxx_n, ok * ok_t, grad_n
+
+        ok0 = jnp.ones((1, T), f32)
+        grad0 = jnp.zeros((1, T), f32)
+        _, _, ok, grad = jax.lax.fori_loop(0, N, body, (Vx, Vxx, ok0, grad0))
+        return ok, grad
+
+    # ---- forward pass / line search -------------------------------------------
+    def forward_cost(alpha, mu):
+        """Closed-loop rollout under u = uh + alpha k + K (x - xh); returns the
+        penalized total cost (1, T) without storing the trajectory."""
+
+        def body(t_i, carry):
+            x, cost = carry
+            xh = xs_s[t_i]
+            uh = us_s[t_i]
+            kg = k_s[t_i]
+            Kg = K_s[t_i]
+            dx = x - xh
+            du0 = alpha * kg[0:1] + sum(
+                Kg[j : j + 1] * dx[j : j + 1] for j in range(NX)
+            )
+            du1 = alpha * kg[1:2] + sum(
+                Kg[NX + j : NX + j + 1] * dx[j : j + 1] for j in range(NX)
+            )
+            u = jnp.concatenate([uh[0:1] + du0, uh[1:2] + du1])
+            cost = cost + stage_cost_value(x, u, lam_s[t_i], mu)
+            xn, _ = dyn(x, u, acc, fric, want_jac=False)
+            return xn, cost
+
+        x, cost = jax.lax.fori_loop(
+            0, N, body, (x0_ref[:], jnp.zeros((1, T), f32))
+        )
+        return cost + terminal_cost_value(x)
+
+    def forward_store(alpha, mu):
+        """Same rollout with per-scenario alpha (1, T); stores into xs_c/us_c
+        and returns the cost."""
+        xs_c[0] = x0_ref[:]
+
+        def body(t_i, carry):
+            x, cost = carry
+            xh = xs_s[t_i]
+            uh = us_s[t_i]
+            kg = k_s[t_i]
+            Kg = K_s[t_i]
+            dx = x - xh
+            du0 = alpha * kg[0:1] + sum(
+                Kg[j : j + 1] * dx[j : j + 1] for j in range(NX)
+            )
+            du1 = alpha * kg[1:2] + sum(
+                Kg[NX + j : NX + j + 1] * dx[j : j + 1] for j in range(NX)
+            )
+            u = jnp.concatenate([uh[0:1] + du0, uh[1:2] + du1])
+            us_c[t_i] = u
+            cost = cost + stage_cost_value(x, u, lam_s[t_i], mu)
+            xn, _ = dyn(x, u, acc, fric, want_jac=False)
+            xs_c[t_i + 1] = xn
+            return xn, cost
+
+        x, cost = jax.lax.fori_loop(
+            0, N, body, (x0_ref[:], jnp.zeros((1, T), f32))
+        )
+        return cost + terminal_cost_value(x)
+
+    def blend_candidate(mask):
+        """xs_s/us_s <- where(mask, candidate, current), per scenario."""
+
+        def body(t_i, _):
+            us_s[t_i] = jnp.where(mask > 0.0, us_c[t_i], us_s[t_i])
+            xs_s[t_i] = jnp.where(mask > 0.0, xs_c[t_i], xs_s[t_i])
+            return 0
+
+        jax.lax.fori_loop(0, N, body, 0)
+        xs_s[N] = jnp.where(mask > 0.0, xs_c[N], xs_s[N])
+
+    # ---- inner iLQR loop -------------------------------------------------------
+    def ilqr(mu):
+        """Levenberg iLQR on the current lam/mu; mutates xs_s/us_s; returns
+        final per-scenario grad (1, T)."""
+        cost0 = total_cost(xs_s, us_s, mu)
+
+        def cond(carry):
+            i, _cost, _reg, grad = carry
+            all_done = jnp.all(grad < 0.01 * tol)
+            return jnp.logical_and(i < inner_iters, jnp.logical_not(all_done))
+
+        def body(carry):
+            i, cost, reg, _grad = carry
+            ok, grad = backward(mu, reg)
+            # fixed alpha grid, cost-only; track best per scenario
+            best_cost = jnp.full((1, T), jnp.inf, f32)
+            best_alpha = jnp.zeros((1, T), f32)
+            for a in ALPHAS:
+                ca = forward_cost(jnp.asarray(a, f32), mu)
+                ca = jnp.where(jnp.isfinite(ca), ca, jnp.inf)
+                better = ca < best_cost
+                best_cost = jnp.where(better, ca, best_cost)
+                best_alpha = jnp.where(better, jnp.asarray(a, f32), best_alpha)
+            improved = (best_cost < cost - 1e-12) & (ok > 0.5)
+            # one storing rollout at the per-scenario best alpha (alpha = 0 for
+            # non-improved lanes reproduces the current trajectory, so the blend
+            # below is a no-op for them)
+            alpha_eff = jnp.where(improved, best_alpha, jnp.zeros_like(best_alpha))
+            cst = forward_store(alpha_eff, mu)
+            blend_candidate(improved.astype(f32))
+            cost_n = jnp.where(improved, best_cost, cost)
+            reg_n = jnp.where(
+                improved,
+                jnp.maximum(reg * 0.5, reg_min),
+                jnp.minimum(reg * 10.0, reg_max),
+            )
+            del cst
+            return i + 1, cost_n, reg_n, grad
+
+        reg0 = jnp.full((1, T), reg_init, f32)
+        grad0 = jnp.full((1, T), jnp.inf, f32)
+        _, _, _, grad = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cost0, reg0, grad0)
+        )
+        return grad
+
+    # ---- outer AL loop ----------------------------------------------------------
+    def al_cond(carry):
+        oi, _mu, viol, lam_step = carry
+        solved = jnp.all((viol < viol_tol) & (lam_step < 1e-3))
+        return jnp.logical_and(oi < outer_iters, jnp.logical_not(solved))
+
+    def al_body(carry):
+        oi, mu, _viol, _lam_step = carry
+        _ = ilqr(mu)
+        # constraint sweep: violation, multiplier update, lam step
+        def body(t_i, carry2):
+            viol, step, lmax = carry2
+            c_rows = constraint_rows(xs_s[t_i], us_s[t_i])
+            lam = lam_s[t_i]
+            lam_n = jnp.maximum(0.0, lam + mu * c_rows)
+            lam_s[t_i] = lam_n
+            viol = jnp.maximum(
+                viol, jnp.max(jnp.maximum(c_rows, 0.0), axis=0, keepdims=True)
+            )
+            step = jnp.maximum(
+                step, jnp.max(jnp.abs(lam_n - lam), axis=0, keepdims=True)
+            )
+            lmax = jnp.maximum(
+                lmax, jnp.max(jnp.abs(lam_n), axis=0, keepdims=True)
+            )
+            return viol, step, lmax
+
+        z = jnp.zeros((1, T), f32)
+        viol, step, lmax = jax.lax.fori_loop(0, N, body, (z, z, z))
+        lam_step = step / (1.0 + lmax)
+        mu_n = jnp.where(
+            viol > viol_tol, jnp.minimum(mu * mu_scale, mu_max), mu
+        )
+        return oi + 1, mu_n, viol, lam_step
+
+    # ---- init + run ---------------------------------------------------------------
+    def init_body(t_i, _):
+        us_s[t_i] = u0_ref[t_i]
+        lam_s[t_i] = jnp.zeros((nc, T), f32)
+        return 0
+
+    jax.lax.fori_loop(0, N, init_body, 0)
+    rollout_into(xs_s, us_s)
+
+    mu0 = jnp.full((1, T), mu_init, f32)
+    inf = jnp.full((1, T), jnp.inf, f32)
+    _, _, viol, _ = jax.lax.while_loop(
+        al_cond, al_body, (jnp.int32(0), mu0, inf, inf)
+    )
+
+    def out_body(t_i, _):
+        us_out[t_i] = us_s[t_i]
+        xs_out[t_i] = xs_s[t_i]
+        return 0
+
+    jax.lax.fori_loop(0, N, out_body, 0)
+    xs_out[N] = xs_s[N]
+    viol_out[:] = viol
+    conv_out[:] = (viol < viol_tol).astype(f32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "N", "ts", "geom", "limits", "weights", "n_circles",
+        "outer_iters", "inner_iters", "tile",
+        "mu_init", "mu_scale", "mu_max", "viol_tol", "tol", "interpret",
+    ),
+)
+def al_ilqr_solve_pallas(
+    x0s: jnp.ndarray,  # (B, 4)
+    u_init: jnp.ndarray,  # (B, N, 2)
+    acc: jnp.ndarray,  # (B,) per-scenario acceleration param
+    fric: jnp.ndarray,  # (B,) per-scenario friction param
+    *,
+    N: int,
+    ts: float,
+    geom: tuple,  # (KB, LR, OX tuple, r2, obs tuple-of-(qx,qy) or ())
+    limits: tuple,
+    weights: tuple,
+    n_circles: int,
+    outer_iters: int = 6,
+    inner_iters: int = 15,
+    mu_init: float = 10.0,
+    mu_scale: float = 10.0,
+    mu_max: float = 1e8,
+    viol_tol: float = 1e-4,
+    tol: float = 1e-6,
+    tile: int = 512,
+    interpret: bool | None = None,
+) -> BatchedALILQRSolution:
+    """Batched AL-iLQR via the fused Pallas kernel; mirrors
+    ``vmap(al_ilqr_solve)`` on the parking OCP family (with per-scenario
+    Levenberg/line-search/μ adaptivity instead of per-solve scalars)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    B = x0s.shape[0]
+    nc = 2 * NX + 2 * NU + n_circles * n_circles
+
+    Bp = ((B + tile - 1) // tile) * tile
+    pad = Bp - B
+    x0_l = jnp.transpose(x0s.astype(f32))  # (4, B)
+    u0_l = jnp.transpose(u_init.astype(f32), (1, 2, 0))  # (N, 2, B)
+    pp_l = jnp.stack([acc.astype(f32), fric.astype(f32)])  # (2, B)
+    if pad:
+        x0_l = jnp.pad(x0_l, ((0, 0), (0, pad)))
+        u0_l = jnp.pad(u0_l, ((0, 0), (0, 0), (0, pad)))
+        # padded lanes get benign params (ones) to avoid 0-division noise
+        pp_l = jnp.pad(pp_l, ((0, 0), (0, pad)), constant_values=1.0)
+
+    kernel = functools.partial(
+        _alilqr_tile_kernel,
+        N=N,
+        nc=nc,
+        n_circ=n_circles,
+        ts=float(ts),
+        geom=geom,
+        limits=limits,
+        weights=weights,
+        outer_iters=outer_iters,
+        inner_iters=inner_iters,
+        mu_init=float(mu_init),
+        mu_scale=float(mu_scale),
+        mu_max=float(mu_max),
+        viol_tol=float(viol_tol),
+        tol=float(tol),
+        reg_init=1.0,
+        reg_min=1e-8,
+        reg_max=1e8,
+    )
+
+    grid = (Bp // tile,)
+    spec2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec3 = lambda a, r: pl.BlockSpec(
+        (a, r, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+
+    us_l, xs_l, viol_l, conv_l = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec2(NX), spec3(N, NU), spec2(2)],
+        out_specs=[spec3(N, NU), spec3(N + 1, NX), spec2(1), spec2(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, NU, Bp), f32),
+            jax.ShapeDtypeStruct((N + 1, NX, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N + 1, NX, tile), f32),  # xs_s
+            pltpu.VMEM((N, NU, tile), f32),  # us_s
+            pltpu.VMEM((N + 1, NX, tile), f32),  # xs_c
+            pltpu.VMEM((N, NU, tile), f32),  # us_c
+            pltpu.VMEM((N, NU, tile), f32),  # k_s
+            pltpu.VMEM((N, NU * NX, tile), f32),  # K_s
+            pltpu.VMEM((N, nc, tile), f32),  # lam_s
+        ],
+        interpret=interpret,
+    )(x0_l, u0_l, pp_l)
+
+    us = jnp.transpose(us_l, (2, 0, 1))[:B]
+    xs = jnp.transpose(xs_l, (2, 0, 1))[:B]
+    return BatchedALILQRSolution(
+        us=us, xs=xs, viol=viol_l[0, :B], converged=conv_l[0, :B] > 0.5
+    )
+
+
+def parking_geometry(params, x_obs, n_circles: int = 3, dtype=jnp.float32):
+    """Static geometry/limit/weight tuples for the kernel, from
+    ``VehicleParameters`` + obstacle pose (``make_parking_ilqr`` semantics)."""
+    from ...utils.geometry import cover_circle_offsets
+
+    offsets, r = cover_circle_offsets(params.length, params.width, n_circles)
+    ox = tuple(float(v) for v in np.asarray(offsets)[:, 0])
+    kb = float(params.axis_rear) / float(params.axis_front + params.axis_rear)
+    if x_obs is not None:
+        xo = np.asarray(x_obs, dtype=np.float64)
+        c, s = np.cos(xo[2]), np.sin(xo[2])
+        obs = tuple(
+            (float(xo[0] + o * c), float(xo[1] + o * s)) for o in ox
+        )
+        r2 = float((2.0 * r) ** 2)
+    else:
+        obs = ()
+        r2 = 0.0
+    geom = (kb, float(params.axis_rear), ox, r2, obs)
+    limits = (
+        tuple(
+            float(v)
+            for v in (
+                params.min_pos_x, params.min_pos_y,
+                params.min_heading, params.min_vel,
+            )
+        ),
+        tuple(
+            float(v)
+            for v in (
+                params.max_pos_x, params.max_pos_y,
+                params.max_heading, params.max_vel,
+            )
+        ),
+        (float(params.min_drive), -float(params.max_steer)),
+        (float(params.max_drive), float(params.max_steer)),
+    )
+    return geom, limits
