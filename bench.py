@@ -27,8 +27,10 @@ ADMM_ITERS = 100
 # 128→1.88M, 256→2.22M, 512→2.34M solves/s (success 0.995→0.993); 1024 exceeds
 # the 16M VMEM scoped limit. Without early exit 512 gave 1.80M at 0.990.
 # Fused-iteration kernel (one (T,80)@(80,80) bf16x3 MXU op per ADMM iteration)
-# plus convergence-gated CG polish: 512/chunks=2/cg=16 → 5.99M at success
-# 0.9966 (sweep: cg=8 → 6.60M at 0.9964; chunks=4 → 5.57M at 0.9925).
+# with an exit-probe chunk and early-exit CG polish (always applied, so the
+# batched path stays solution-equivalent to the per-scenario XLA path):
+# 4.74M at success 0.9962. Convergence-gated polish variants reached 5.5-6.6M
+# but let converged tiles drift from the polished scalar path.
 TILE = 512
 TARGET_SOLVES_PER_S = 10_000.0
 

@@ -20,8 +20,11 @@ Design:
   KKT-inverse select a cheap one-hot contraction instead of a per-row gather);
 - residual/convergence/polish matmuls stay Precision.HIGHEST — they gate exits
   and the success mask right at the tolerance threshold;
-- in-kernel CG active-set polish, gated on non-convergence (~99% of warm-started
-  tiles exit converged and skip it); final residuals in the XLA wrapper.
+- in-kernel CG active-set polish with an early exit on its own residual: it
+  runs unconditionally (a convergence-gated variant was ~15% faster but let
+  converged tiles drift from the always-polished per-scenario XLA path), and
+  its accept test reuses the final chunk's residual products; final residuals
+  in the XLA wrapper.
 
 The public wrapper :func:`admm_solve_pallas` mirrors ``vmap(admm_solve)`` and falls
 back to interpreter mode off-TPU (tests run it on CPU via ``interpret=True``).
@@ -82,7 +85,6 @@ def _admm_tile_kernel(
     Pinv_ref,  # (n, n) inv(P_s)
     S_ref,  # (m, m) A_s inv(P_s) A_sᵀ
     rho_ref,  # (R, 1)
-    par_ref,  # (2, 1): [sigma, alpha]
     Einv_ref,  # (1, m) 1/E — unscale constraint rows
     Dcinv_ref,  # (1, n) 1/(c·D) — unscale stationarity rows
     # per-tile scenario blocks
@@ -104,6 +106,7 @@ def _admm_tile_kernel(
     cg_polish: bool,
     cg_iters: int,
     eps_abs: float,
+    alpha: float,
 ):
     f32 = jnp.float32
     q = q_ref[:]
@@ -114,7 +117,6 @@ def _admm_tile_kernel(
     # non-128-aligned tiles hits Mosaic 'Offset change')
     P = P_ref[:]
     rho2 = rho_ref[:]  # (R, 1) — keep 2D throughout for Mosaic
-    alpha = par_ref[1, 0]
     n = q.shape[1]
     m = l.shape[1]
     T = q.shape[0]
@@ -167,8 +169,11 @@ def _admm_tile_kernel(
     # probe chunk never adapts ρ: adapting after so few iterations acts on
     # transient residual ratios and measurably costs success rate.
     probe = max(0, min(probe_iters, iters))
-    chunk_len = max(1, (iters - probe) // chunks)
-    n_chunks = chunks + (1 if probe else 0)
+    rem = iters - probe
+    # never exceed the caller's iteration budget: with iters <= probe_iters the
+    # probe IS the whole budget and no uniform chunks run
+    chunk_len = max(1, rem // chunks) if rem > 0 else 0
+    n_chunks = (1 if probe else 0) + (chunks if rem > 0 else 0)
 
     def chunk_body(state):
         C, Y, idx, ci, _conv, _Ax, _Px, _Aty = state
@@ -262,7 +267,7 @@ def _admm_tile_kernel(
         jnp.zeros((T, m), f32), jnp.zeros((T, n), f32), jnp.zeros((T, n), f32),
     )
     state = jax.lax.while_loop(not_done, chunk_body, state)
-    C, Y, _, _, conv_final, Ax_f, Px_f, Aty_f = state
+    C, Y, _, _, _conv_final, Ax_f, Px_f, Aty_f = state
     x = C[:, :n]
     z = C[:, n:]
     y = Y[:, n:]
@@ -369,7 +374,7 @@ def _admm_tile_kernel(
     jax.jit,
     static_argnames=(
         "iters", "chunks", "probe_iters", "tile", "interpret", "polish",
-        "cg_iters", "eps_abs"
+        "cg_iters", "eps_abs", "alpha"
     ),
 )
 @solver_precision
@@ -436,8 +441,8 @@ def admm_solve_pallas(
         cg_polish=polish,
         cg_iters=cg_iters,
         eps_abs=float(eps_abs),
+        alpha=float(alpha),  # sigma is already folded into W_stack
     )
-    par = jnp.stack([op.sigma.astype(f32), jnp.asarray(alpha, f32)])[:, None]
 
     # Fused per-level iteration matrices (see kernel docstring): one
     # (T, n+m)@(n+m, n+m) MXU op per ADMM iteration replaces the three
@@ -476,7 +481,6 @@ def admm_solve_pallas(
             shared(n, n),
             shared(m, m),
             shared(R, 1),
-            shared(2, 1),
             shared(1, m),
             shared(1, n),
             tiled(n),
@@ -501,7 +505,6 @@ def admm_solve_pallas(
         op.Pinv_s.astype(f32),
         op.S.astype(f32),
         op.rho_levels.astype(f32)[:, None],
-        par,
         (1.0 / op.E).astype(f32)[None, :],
         (1.0 / (op.c * op.D)).astype(f32)[None, :],
         q_s,

@@ -460,13 +460,13 @@ def _alilqr_tile_kernel(
         )
         return cost + terminal_cost_value(x)
 
-    def forward_store(alpha, mu):
-        """Same rollout with per-scenario alpha (1, T); stores into xs_c/us_c
-        and returns the cost."""
+    def forward_store(alpha):
+        """Same rollout with per-scenario alpha (1, T); stores into xs_c/us_c.
+        The accepted cost is already known from the alpha search — no stage
+        costs are evaluated here."""
         xs_c[0] = x0_ref[:]
 
-        def body(t_i, carry):
-            x, cost = carry
+        def body(t_i, x):
             xh = xs_s[t_i]
             uh = us_s[t_i]
             kg = k_s[t_i]
@@ -480,15 +480,11 @@ def _alilqr_tile_kernel(
             )
             u = jnp.concatenate([uh[0:1] + du0, uh[1:2] + du1])
             us_c[t_i] = u
-            cost = cost + stage_cost_value(x, u, lam_s[t_i], mu)
             xn, _ = dyn(x, u, acc, fric, want_jac=False)
             xs_c[t_i + 1] = xn
-            return xn, cost
+            return xn
 
-        x, cost = jax.lax.fori_loop(
-            0, N, body, (x0_ref[:], jnp.zeros((1, T), f32))
-        )
-        return cost + terminal_cost_value(x)
+        jax.lax.fori_loop(0, N, body, x0_ref[:])
 
     def blend_candidate(mask):
         """xs_s/us_s <- where(mask, candidate, current), per scenario."""
@@ -529,7 +525,7 @@ def _alilqr_tile_kernel(
             # non-improved lanes reproduces the current trajectory, so the blend
             # below is a no-op for them)
             alpha_eff = jnp.where(improved, best_alpha, jnp.zeros_like(best_alpha))
-            cst = forward_store(alpha_eff, mu)
+            forward_store(alpha_eff)
             blend_candidate(improved.astype(f32))
             cost_n = jnp.where(improved, best_cost, cost)
             reg_n = jnp.where(
@@ -537,7 +533,6 @@ def _alilqr_tile_kernel(
                 jnp.maximum(reg * 0.5, reg_min),
                 jnp.minimum(reg * 10.0, reg_max),
             )
-            del cst
             return i + 1, cost_n, reg_n, grad
 
         reg0 = jnp.full((1, T), reg_init, f32)

@@ -72,17 +72,19 @@ def perturb_parameters(
 
 def random_initial_states(
     key, batch: int, center=(0.3, -0.1, 0.0, 0.0), spread=(0.2, 0.15, 0.3, 0.05),
-    x_obs=None, clearance: float = 0.13, dtype=jnp.float32,
+    x_obs=None, clearance: float = 0.22, dtype=jnp.float32,
 ) -> jnp.ndarray:
     """(batch, 4) initial poses around the session-4 start (``main.py:243``).
 
     ``x_obs``: optional obstacle pose — sampled positions inside ``clearance``
     of it are projected radially onto the clearance circle, so every scenario
-    *starts* collision-feasible (the covering-circle clearance between two
-    3-circle covers of the 0.17×0.08 car is ≈0.098 m; the default adds margin).
-    Without this, a fraction of the uniform box around the session-4 start
-    overlaps the obstacle and no controller can satisfy the stage-0 constraint
-    — the solver then honestly reports a violation it cannot repair.
+    *starts* collision-feasible whatever the headings: the worst covering-circle
+    pair needs 2r ≈ 0.098 m between circle CENTERS, and each body's outermost
+    circle sits ±0.0567 m from its position, so positions must be
+    0.098 + 2·0.0567 ≈ 0.212 m apart (default adds margin). Without this, a
+    fraction of the uniform box around the session-4 start overlaps the obstacle
+    and no controller can satisfy the stage-0 constraint — the solver then
+    honestly reports a violation it cannot repair.
     """
     center = jnp.asarray(center, dtype=dtype)
     spread = jnp.asarray(spread, dtype=dtype)

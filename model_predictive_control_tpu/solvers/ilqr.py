@@ -15,9 +15,14 @@ even better at long horizons:
   to the stage cost and updates multipliers — the AL-iLQR/ALTRO pattern — so the
   inner problem stays an *unconstrained* iLQR that jits and vmaps cleanly.
 
-Everything is fixed-shape and fixed-iteration (status masks, no data-dependent
-control flow), so the whole solver nests inside closed-loop scans and shards over
-scenario batches like every other solver in the engine.
+Everything is fixed-shape with status masks; the inner and outer loops are
+bounded ``lax.while_loop``s with NaN-safe convergence exits (warm-started
+receding-horizon steps exit after one or two rounds instead of the full budget),
+so the solver nests inside closed-loop scans and shards over scenario batches
+like every other solver in the engine. The while_loops make the solver
+forward-mode-only: ``jax.grad`` through a solve is not supported (use the
+fixed-length history of a closed-loop scan, or implicit differentiation at the
+KKT point, if solver gradients are ever needed).
 """
 
 from __future__ import annotations
