@@ -111,7 +111,25 @@ def _alilqr_tile_kernel(
         return ref_val[i : i + 1]  # (1, T)
 
     # ---- dynamics: one Euler step + Jacobian entries -------------------------
-    def dyn(x, u, acc, fric, want_jac):
+    # Row-based primitives take per-component arrays of ANY leading shape
+    # (broadcast against the (1, T) per-scenario params) — the line search uses
+    # them with all alphas packed into the sublane dim as (A, T) blocks.
+    def dyn_rows(px, py, psi, v, a, dl):
+        t = jnp.tan(dl)
+        den = jnp.sqrt(1.0 + (KB * KB) * t * t)
+        sinb = KB * t / den
+        cosb = 1.0 / den
+        sp, cp = jnp.sin(psi), jnp.cos(psi)
+        s_pb = sp * cosb + cp * sinb
+        c_pb = cp * cosb - sp * sinb
+        return (
+            px + ts * v * c_pb,
+            py + ts * v * s_pb,
+            psi + ts * v * sinb / LR,
+            v + ts * (acc * a - fric * v),
+        )
+
+    def dyn(x, u, acc_, fric_, want_jac):
         """x (4,T), u (2,T) -> x_next (4,T) and (optionally) sparse A/B entries."""
         px, py, psi, v = x[0:1], x[1:2], x[2:3], x[3:4]
         a, dl = u[0:1], u[1:2]
@@ -128,7 +146,7 @@ def _alilqr_tile_kernel(
                 px + ts * v * c_pb,
                 py + ts * v * s_pb,
                 psi + ts * v * sinb / LR,
-                v + ts * (acc * a - fric * v),
+                v + ts * (acc_ * a - fric_ * v),
             ]
         )
         if not want_jac:
@@ -145,24 +163,28 @@ def _alilqr_tile_kernel(
             b01=-ts * v * s_pb * bp,
             b11=ts * v * c_pb * bp,
             b21=ts * v * cosb * bp / LR,
-            b30=ts * acc,
+            b30=ts * acc_,
         )
         return xn, jac
 
     # ---- constraints: rows, AL penalty value and derivatives -----------------
     # row order matches solvers/parking.py::make_parking_ilqr:
     #   [x - ub_x (4), lb_x - x (4), u - ub_u (2), lb_u - u (2), r2 - d^2 (n^2)]
-    def constraint_rows(x, u):
-        px, py, psi = x[0:1], x[1:2], x[2:3]
+    def constraint_row_list(xr, ur):
+        """Constraint rows as a python list; components broadcast-shaped."""
+        px, py, psi, v = xr
+        a, dl = ur
+        comps = (px, py, psi, v)
         rows = []
         for i in range(NX):
-            rows.append(x[i : i + 1] - UBX[i])
+            rows.append(comps[i] - UBX[i])
         for i in range(NX):
-            rows.append(LBX[i] - x[i : i + 1])
+            rows.append(LBX[i] - comps[i])
+        ucomp = (a, dl)
         for j in range(NU):
-            rows.append(u[j : j + 1] - UBU[j])
+            rows.append(ucomp[j] - UBU[j])
         for j in range(NU):
-            rows.append(LBU[j] - u[j : j + 1])
+            rows.append(LBU[j] - ucomp[j])
         if has_obs:
             sp, cp = jnp.sin(psi), jnp.cos(psi)
             for i in range(n_circ):
@@ -172,22 +194,38 @@ def _alilqr_tile_kernel(
                     wx = cx - OBS[j][0]
                     wy = cy - OBS[j][1]
                     rows.append(R2 - (wx * wx + wy * wy))
-        return jnp.concatenate(rows)  # (nc, T)
+        return rows
 
-    def al_phi(c_rows, lam, mu):
-        """AL penalty value per scenario: sum((act^2 - lam^2) / (2 mu))."""
-        act = jnp.maximum(0.0, lam + mu * c_rows)
-        return jnp.sum(act * act - lam * lam, axis=0, keepdims=True) / (2.0 * mu)
+    def constraint_rows(x, u):
+        xr = (x[0:1], x[1:2], x[2:3], x[3:4])
+        ur = (u[0:1], u[1:2])
+        return jnp.concatenate(constraint_row_list(xr, ur))  # (nc, T)
+
+    def stage_cost_rows(xr, ur, lam, mu):
+        """Quadratic + AL penalty, any leading shape (e.g. (A, T) alpha packs).
+
+        lam rows are (1, T) slices that broadcast against the pack."""
+        rows = constraint_row_list(xr, ur)
+        quad = sum(QD[i] * xr[i] * xr[i] for i in range(NX)) + sum(
+            RD[j] * ur[j] * ur[j] for j in range(NU)
+        )
+        phi = jnp.zeros_like(quad)
+        for r, c in enumerate(rows):
+            lam_r = lam[r : r + 1]
+            act = jnp.maximum(0.0, lam_r + mu * c)
+            phi = phi + (act * act - lam_r * lam_r)
+        return quad + phi / (2.0 * mu)
 
     def stage_cost_value(x, u, lam, mu):
-        c_rows = constraint_rows(x, u)
-        quad = sum(QD[i] * x[i : i + 1] * x[i : i + 1] for i in range(NX)) + sum(
-            RD[j] * u[j : j + 1] * u[j : j + 1] for j in range(NU)
+        return stage_cost_rows(
+            (x[0:1], x[1:2], x[2:3], x[3:4]), (u[0:1], u[1:2]), lam, mu
         )
-        return quad + al_phi(c_rows, lam, mu)
+
+    def terminal_cost_rows(xr):
+        return QN * sum(QD[i] * xr[i] * xr[i] for i in range(NX))
 
     def terminal_cost_value(x):
-        return QN * sum(QD[i] * x[i : i + 1] * x[i : i + 1] for i in range(NX))
+        return terminal_cost_rows((x[0:1], x[1:2], x[2:3], x[3:4]))
 
     def stage_derivs(x, u, lam, mu):
         """Gradients/Hessians of stage cost + AL penalty.
@@ -433,32 +471,49 @@ def _alilqr_tile_kernel(
         return ok, grad
 
     # ---- forward pass / line search -------------------------------------------
-    def forward_cost(alpha, mu):
-        """Closed-loop rollout under u = uh + alpha k + K (x - xh); returns the
-        penalized total cost (1, T) without storing the trajectory."""
+    A_LS = len(ALPHAS)
+    # build the (A, 1) alpha column from iota + scalar selects: a jnp.asarray
+    # of the tuple would be a non-scalar captured constant, which pallas rejects
+    _li = jax.lax.broadcasted_iota(jnp.int32, (A_LS, 1), 0)
+    alpha_col = sum(
+        jnp.where(_li == k, jnp.float32(a), jnp.float32(0.0))
+        for k, a in enumerate(ALPHAS)
+    )
+
+    def forward_cost_all(mu):
+        """Closed-loop rollouts under u = uh + alpha k + K (x - xh) for the WHOLE
+        alpha grid at once — alphas packed into the sublane dim as (A, T)
+        component blocks, so the grid costs one N-stage loop instead of A
+        (and (A, T) VPU ops use A/8 sublanes instead of 1/8). Returns the
+        penalized total costs (A, T) without storing trajectories."""
 
         def body(t_i, carry):
-            x, cost = carry
+            px, py, psi, v, cost = carry
             xh = xs_s[t_i]
             uh = us_s[t_i]
             kg = k_s[t_i]
             Kg = K_s[t_i]
-            dx = x - xh
-            du0 = alpha * kg[0:1] + sum(
-                Kg[j : j + 1] * dx[j : j + 1] for j in range(NX)
+            dx = (px - xh[0:1], py - xh[1:2], psi - xh[2:3], v - xh[3:4])
+            du0 = alpha_col * kg[0:1] + sum(
+                Kg[j : j + 1] * dx[j] for j in range(NX)
             )
-            du1 = alpha * kg[1:2] + sum(
-                Kg[NX + j : NX + j + 1] * dx[j : j + 1] for j in range(NX)
+            du1 = alpha_col * kg[1:2] + sum(
+                Kg[NX + j : NX + j + 1] * dx[j] for j in range(NX)
             )
-            u = jnp.concatenate([uh[0:1] + du0, uh[1:2] + du1])
-            cost = cost + stage_cost_value(x, u, lam_s[t_i], mu)
-            xn, _ = dyn(x, u, acc, fric, want_jac=False)
-            return xn, cost
+            a_u = uh[0:1] + du0
+            dl_u = uh[1:2] + du1
+            cost = cost + stage_cost_rows(
+                (px, py, psi, v), (a_u, dl_u), lam_s[t_i], mu
+            )
+            px, py, psi, v = dyn_rows(px, py, psi, v, a_u, dl_u)
+            return px, py, psi, v, cost
 
-        x, cost = jax.lax.fori_loop(
-            0, N, body, (x0_ref[:], jnp.zeros((1, T), f32))
-        )
-        return cost + terminal_cost_value(x)
+        x0 = x0_ref[:]
+        init = tuple(
+            jnp.broadcast_to(x0[i : i + 1], (A_LS, T)) for i in range(NX)
+        ) + (jnp.zeros((A_LS, T), f32),)
+        px, py, psi, v, cost = jax.lax.fori_loop(0, N, body, init)
+        return cost + terminal_cost_rows((px, py, psi, v))
 
     def forward_store(alpha):
         """Same rollout with per-scenario alpha (1, T); stores into xs_c/us_c.
@@ -511,15 +566,16 @@ def _alilqr_tile_kernel(
         def body(carry):
             i, cost, reg, _grad = carry
             ok, grad = backward(mu, reg)
-            # fixed alpha grid, cost-only; track best per scenario
-            best_cost = jnp.full((1, T), jnp.inf, f32)
-            best_alpha = jnp.zeros((1, T), f32)
-            for a in ALPHAS:
-                ca = forward_cost(jnp.asarray(a, f32), mu)
-                ca = jnp.where(jnp.isfinite(ca), ca, jnp.inf)
-                better = ca < best_cost
-                best_cost = jnp.where(better, ca, best_cost)
-                best_alpha = jnp.where(better, jnp.asarray(a, f32), best_alpha)
+            # whole alpha grid in one packed rollout; best per scenario, ties
+            # resolved to the largest alpha (matching first-min-of-grid order)
+            costs_all = forward_cost_all(mu)
+            costs_all = jnp.where(jnp.isfinite(costs_all), costs_all, jnp.inf)
+            best_cost = jnp.min(costs_all, axis=0, keepdims=True)
+            best_alpha = jnp.max(
+                jnp.where(costs_all <= best_cost, alpha_col, 0.0),
+                axis=0,
+                keepdims=True,
+            )
             improved = (best_cost < cost - 1e-12) & (ok > 0.5)
             # one storing rollout at the per-scenario best alpha (alpha = 0 for
             # non-improved lanes reproduces the current trajectory, so the blend
