@@ -266,46 +266,62 @@ def _alilqr_tile_kernel(
             huu[j] = huu[j] + mu * ind
 
         if has_obs:
+            # All circle PAIRS packed into the sublane dim as (n^2, T) blocks
+            # (pair index p = i*n + j): one vectorized pass replaces n^2
+            # sequential (1, T) op groups — the collision derivatives dominate
+            # the backward pass's per-stage cost. Pair constants are built from
+            # iota + scalar selects (non-scalar captured constants are
+            # rejected by pallas). NOTE: packing the STAGE dim the same way
+            # (total_cost / multiplier sweep over (N, ...) buffer values) was
+            # measured 3x SLOWER — middle-dim slices of 3D register values
+            # force strided relayouts; only same-shape row packs pay off.
             sp, cp = jnp.sin(psi), jnp.cos(psi)
             base = 2 * NX + 2 * NU
-            for i in range(n_circ):
-                cx = px + OX[i] * cp
-                cy = py + OX[i] * sp
-                # e = d(center)/d(psi), de/dpsi = -ox (cp, sp)
-                ex = -OX[i] * sp
-                ey = OX[i] * cp
-                for j in range(n_circ):
-                    r_idx = base + i * n_circ + j
-                    wx = cx - OBS[j][0]
-                    wy = cy - OBS[j][1]
-                    c = R2 - (wx * wx + wy * wy)
-                    act = jnp.maximum(0.0, lam[r_idx : r_idx + 1] + mu * c)
-                    ind = mu * (act > 0.0).astype(f32)
-                    # dc/d(px,py,psi)
-                    gx = -2.0 * wx
-                    gy = -2.0 * wy
-                    gpsi = -2.0 * (wx * ex + wy * ey)
-                    lx[0] = lx[0] + act * gx
-                    lx[1] = lx[1] + act * gy
-                    lx[2] = lx[2] + act * gpsi
-                    # Gauss-Newton term: ind * g g^T
-                    hxx[(0, 0)] = hxx[(0, 0)] + ind * gx * gx
-                    hxx[(0, 1)] = hxx[(0, 1)] + ind * gx * gy
-                    hxx[(0, 2)] = hxx[(0, 2)] + ind * gx * gpsi
-                    hxx[(1, 1)] = hxx[(1, 1)] + ind * gy * gy
-                    hxx[(1, 2)] = hxx[(1, 2)] + ind * gy * gpsi
-                    hxx[(2, 2)] = hxx[(2, 2)] + ind * gpsi * gpsi
-                    # exact curvature term: act * d2c
-                    # d2c/dp2 = -2 I, d2c/dp dpsi = -2 e,
-                    # d2c/dpsi2 = -2 (ox^2 - ox (wx cp + wy sp))
-                    hxx[(0, 0)] = hxx[(0, 0)] - 2.0 * act
-                    hxx[(1, 1)] = hxx[(1, 1)] - 2.0 * act
-                    hxx[(0, 2)] = hxx[(0, 2)] - 2.0 * act * ex
-                    hxx[(1, 2)] = hxx[(1, 2)] - 2.0 * act * ey
-                    d2psi = -2.0 * (
-                        OX[i] * OX[i] - OX[i] * (wx * cp + wy * sp)
-                    )
-                    hxx[(2, 2)] = hxx[(2, 2)] + act * d2psi
+            n2 = n_circ * n_circ
+            pidx = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
+            zero_c = jnp.zeros((n2, 1), f32)
+            oxp = sum(
+                jnp.where(pidx // n_circ == i, jnp.float32(OX[i]), zero_c)
+                for i in range(n_circ)
+            )
+            qxp = sum(
+                jnp.where(pidx % n_circ == j, jnp.float32(OBS[j][0]), zero_c)
+                for j in range(n_circ)
+            )
+            qyp = sum(
+                jnp.where(pidx % n_circ == j, jnp.float32(OBS[j][1]), zero_c)
+                for j in range(n_circ)
+            )
+            # e = d(center)/d(psi) per pair
+            ex = -oxp * sp  # (n2, T)
+            ey = oxp * cp
+            wx = px + oxp * cp - qxp
+            wy = py + oxp * sp - qyp
+            c = R2 - (wx * wx + wy * wy)
+            act = jnp.maximum(0.0, lam[base : base + n2] + mu * c)
+            ind = mu * (act > 0.0).astype(f32)
+            gx = -2.0 * wx
+            gy = -2.0 * wy
+            gpsi = -2.0 * (wx * ex + wy * ey)
+
+            def psum(v):  # reduce over the pair dim -> (1, T)
+                return jnp.sum(v, axis=0, keepdims=True)
+
+            lx[0] = lx[0] + psum(act * gx)
+            lx[1] = lx[1] + psum(act * gy)
+            lx[2] = lx[2] + psum(act * gpsi)
+            # Gauss-Newton ind * g g^T plus exact curvature act * d2c
+            # (d2c/dp2 = -2 I, d2c/dp dpsi = -2 e,
+            #  d2c/dpsi2 = -2 (ox^2 - ox (wx cp + wy sp)))
+            hxx[(0, 0)] = hxx[(0, 0)] + psum(ind * gx * gx - 2.0 * act)
+            hxx[(0, 1)] = hxx[(0, 1)] + psum(ind * gx * gy)
+            hxx[(0, 2)] = hxx[(0, 2)] + psum(ind * gx * gpsi - 2.0 * act * ex)
+            hxx[(1, 1)] = hxx[(1, 1)] + psum(ind * gy * gy - 2.0 * act)
+            hxx[(1, 2)] = hxx[(1, 2)] + psum(ind * gy * gpsi - 2.0 * act * ey)
+            d2psi = -2.0 * (oxp * oxp - oxp * (wx * cp + wy * sp))
+            hxx[(2, 2)] = hxx[(2, 2)] + psum(
+                ind * gpsi * gpsi + act * d2psi
+            )
         return lx, lu, hxx, huu
 
     # ---- trajectory-wide helpers ---------------------------------------------
