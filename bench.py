@@ -29,9 +29,12 @@ ADMM_ITERS = 100
 # Fused-iteration kernel (one (T,80)@(80,80) bf16x3 MXU op per ADMM iteration)
 # with an exit-probe chunk and early-exit CG polish (always applied, so the
 # batched path stays solution-equivalent to the per-scenario XLA path):
-# 4.74M at success 0.9962. Convergence-gated polish variants reached 5.5-6.6M
-# but let converged tiles drift from the polished scalar path.
-TILE = 512
+# 4.74M at success 0.9962 with tile=512. Raising the scoped-VMEM cap unlocks
+# bigger tiles (1024 -> 4.90M, 2048 -> knee, 4096 -> 5.06M); with tile=2048 and
+# a fine-chunked presolve the headline lands at ~5.1M, success 0.9956.
+# Convergence-gated polish variants reached 5.5-6.6M but let converged tiles
+# drift from the polished scalar path and were rejected.
+TILE = 2048
 TARGET_SOLVES_PER_S = 10_000.0
 
 

@@ -257,9 +257,13 @@ class LinearMPC:
         if backend == "pallas":
             from ..ops.pallas.admm_kernel import admm_solve_pallas
 
+            # deep cold solve: more, finer chunks (the hot path's 2-chunk
+            # schedule would give this 4x-budget solve a very coarse early
+            # exit) and no probe chunk (nothing is warm-started here)
             sol = admm_solve_pallas(
                 self.op, q, l, u, warm_x, warm_y,
-                iters=self.iters * iters_mult, tile=tile,
+                iters=self.iters * iters_mult, chunks=2 * iters_mult,
+                probe_iters=0, tile=tile,
             )
         else:
             sol = jax.vmap(
