@@ -21,7 +21,6 @@ reference's mismatch semantics, generalized from 1 scenario to 65k.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

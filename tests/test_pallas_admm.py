@@ -137,3 +137,18 @@ def test_batched_policy_xla_backend():
     )
     assert np.asarray(res.logs["solver_success"])[2:].mean() > 0.9
     assert np.all(np.isfinite(np.asarray(res.states)))
+
+
+def test_probe_respects_iteration_budget():
+    """iters <= probe_iters must run EXACTLY iters iterations (the probe is the
+    whole budget, no extra min-1-iteration chunks): the result must be bitwise
+    identical to an explicit single-chunk schedule of the same depth."""
+    _, _, op, qs, ls, us, *_ = _batched_qp(seed=7)
+    a = admm_solve_pallas(
+        op, qs, ls, us, iters=8, chunks=4, probe_iters=32, tile=4
+    )
+    b = admm_solve_pallas(
+        op, qs, ls, us, iters=8, chunks=1, probe_iters=0, tile=4
+    )
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
