@@ -152,3 +152,15 @@ def test_sweep_pallas_mesh_sharded_f32():
     np.testing.assert_allclose(
         np.asarray(res.states), np.asarray(res1.states), atol=1e-5
     )
+
+
+def test_kernel_deterministic():
+    """Two identical invocations must agree bitwise (no PRNG, no atomics, no
+    order-dependent reductions in the kernel)."""
+    x0s = jnp.asarray(
+        [[0.3, -0.1, 0.0, 0.0], [0.45, 0.12, 0.3, 0.05]], jnp.float32
+    )
+    _, a = _solve_both(x0s, N=6, ts=0.1, x_obs=X_OBS, outer=4, inner=8)
+    _, b = _solve_both(x0s, N=6, ts=0.1, x_obs=X_OBS, outer=4, inner=8)
+    np.testing.assert_array_equal(np.asarray(a.us), np.asarray(b.us))
+    np.testing.assert_array_equal(np.asarray(a.viol), np.asarray(b.viol))
