@@ -688,6 +688,68 @@ class StagewiseMPC:
         nu = jnp.shape(self.B)[-1]
         return jnp.zeros((self.N, nu), dtype=dtype)
 
+    def batched_policy(self, backend: str = "xla", tile: int = 512):
+        """Batch-level receding-horizon policy for
+        :func:`~..control.batch_loop.simulate_batch`.
+
+        ``backend="xla"`` (default, and the measured throughput winner — ~81k
+        solves/s at N=100 × batch 4096 on v5e) vmaps the scalar solver;
+        ``backend="pallas"`` routes the solve through the fused VMEM-resident
+        stagewise interior-point kernel (correctness-verified alternative;
+        see ``ops/pallas/riccati_ip_kernel.py`` for why it measures *slower*
+        here, unlike the ADMM/AL-iLQR kernels). Carry = warm-start input
+        trajectories ``(B, N, nu)``, shifted one stage per step.
+
+        The Pallas kernel bakes the (LTI) problem data in as compile-time
+        constants, so this method must be called with concrete — not traced —
+        ``A/B/Q/R/Pf``/bounds; the returned policy itself jits/scans freely.
+        """
+        import numpy as np
+
+        if backend == "pallas":
+            from ..ops.pallas.riccati_ip_kernel import stagewise_ip_solve_pallas
+
+            static = tuple(
+                np.asarray(v)
+                for v in (
+                    self.A, self.B, self.Q, self.R, self.Pf,
+                    self.x_lb, self.x_ub, self.u_lb, self.u_ub,
+                )
+            )
+
+            def policy_fn(x_batch, t, carry):
+                sol = stagewise_ip_solve_pallas(
+                    *static, x_batch, u_init=carry,
+                    N=self.N, iters=self.iters, tile=tile,
+                )
+                u_warm = jnp.concatenate(
+                    [sol.us[:, 1:], sol.us[:, -1:]], axis=1
+                )
+                aux = {
+                    "solver_success": sol.success,
+                    "state_prediction": sol.xs[:, 1:],
+                    "input_prediction": sol.us,
+                    "mu": sol.mu,
+                    "prim_res": sol.prim_res,
+                }
+                return sol.us[:, 0], u_warm, aux
+
+            return policy_fn
+
+        if backend == "xla":
+            scalar = self.policy()
+
+            def policy_fn(x_batch, t, carry):
+                return jax.vmap(lambda x, c: scalar(x, t, c))(x_batch, carry)
+
+            return policy_fn
+
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def initial_batch_carry(self, batch: int, dtype=jnp.float32):
+        nu = jnp.shape(self.B)[-1]
+        return jnp.zeros((batch, self.N, nu), dtype=dtype)
+
 
 def make_stagewise_mpc(
     problem,
