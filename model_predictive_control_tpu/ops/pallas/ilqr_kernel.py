@@ -772,6 +772,16 @@ def al_ilqr_solve_pallas(
             pltpu.VMEM((N, NU * NX, tile), f32),  # K_s
             pltpu.VMEM((N, nc, tile), f32),  # lam_s
         ],
+        # Raise the scoped-VMEM cap (16 MB default) so tile > 512 compiles.
+        # Measured (v5e, batch 2048, closed-loop sweep): tiles past 512 REGRESS
+        # — 512 → 39.4k, 1024 → 31.4k, 2048 → 6.8k solves/s — unlike the ADMM
+        # kernel: a tile's while loops run until every lane converges, so
+        # straggler coupling grows with tile width. Throughput instead scales
+        # with BATCH (more grid programs amortize the ~25 ms fixed per-call
+        # cost): 39.4k @ 2048 → 70.9k @ 8192 → 82.2k @ 16384 → 88.8k @ 32768.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x0_l, u0_l, pp_l)
 
