@@ -773,12 +773,16 @@ def al_ilqr_solve_pallas(
             pltpu.VMEM((N, nc, tile), f32),  # lam_s
         ],
         # Raise the scoped-VMEM cap (16 MB default) so tile > 512 compiles.
-        # Measured (v5e, batch 2048, closed-loop sweep): tiles past 512 REGRESS
-        # — 512 → 39.4k, 1024 → 31.4k, 2048 → 6.8k solves/s — unlike the ADMM
-        # kernel: a tile's while loops run until every lane converges, so
-        # straggler coupling grows with tile width. Throughput instead scales
-        # with BATCH (more grid programs amortize the ~25 ms fixed per-call
-        # cost): 39.4k @ 2048 → 70.9k @ 8192 → 82.2k @ 16384 → 88.8k @ 32768.
+        # Measured (v5e, batch 2048 × 50-step closed-loop sweep, device time):
+        # tiles past 512 REGRESS — 512 → ~1.0 s, 1024 → ~1.8 s, 2048 → ~13.5 s
+        # — unlike the ADMM kernel: a tile's while loops run until every lane
+        # converges, so straggler coupling grows with tile width. Throughput is
+        # ~flat in batch (92k solves/s @ 512 → 98k @ 2048 → 100k @ 8192); the
+        # apparent sub-linear "batch scaling" seen earlier was host-side
+        # re-tracing in parking_sweep (now cached) plus the ~25 ms per-DISPATCH
+        # cost of each top-level executable run, which chaining solves inside
+        # one jitted scan already amortizes (measured 2.6 ms/solve for a
+        # 10-solve chain vs 26 ms solo at batch 512).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

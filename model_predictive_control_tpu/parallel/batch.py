@@ -24,6 +24,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..control.batch_loop import BatchSimResult, simulate_batch
 from ..models.bicycle import NU, kinematic_bicycle_ode
@@ -317,6 +318,19 @@ def batched_plant(plant_params: VehicleParameters, ts: float, substeps: int = 16
     return jax.vmap(lambda x, u: step_one(plant_params, x, u))
 
 
+# Jitted-segment cache for parking_sweep. Rebuilding the policy + jit closure
+# on every call re-traces the whole multi-step scan in Python — measured
+# ~1.5 s host overhead per call on v5e, which was initially misread as device
+# time and HALVED the apparent kernel-backend throughput (39k apparent vs the
+# true ~98k solves/s at batch 2048, 50 steps). The cache key is every static
+# knob that shapes the traced program plus the nominal model constants; the
+# perturbed plant parameters flow in as pytree ARGUMENTS, so new data never
+# stales a cache entry. Only the controller_knows=False path is cached — with
+# controller_knows=True the policy closes over the per-scenario model
+# parameter arrays themselves.
+_SEGMENT_CACHE: dict = {}
+
+
 def parking_sweep(
     batch: int,
     steps: int,
@@ -371,23 +385,46 @@ def parking_sweep(
             plant_params,
         )
 
-    policy = batched_parking_policy(
-        model_params, N=N, ts=ts, x_obs=x_obs,
+    def build_segment(policy):
+        def segment(x0s, plant_params_, carry, n_steps):
+            plant = batched_plant(plant_params_, ts, substeps=plant_substeps)
+            return simulate_batch(
+                x0s, plant, n_steps, policy, carry, batched_dynamics=True
+            )
+
+        return jax.jit(segment, static_argnums=3)
+
+    policy_kwargs = dict(
+        N=N, ts=ts, x_obs=x_obs,
         sqp_iters=sqp_iters, qp_iters=qp_iters, solver=solver,
         outer_iters=outer_iters, inner_iters=inner_iters,
         backend=backend, tile=tile, mesh=mesh, dtype=dtype,
     )
-    plant = batched_plant(plant_params, ts, substeps=plant_substeps)
-
-    def segment(x0s, carry, n_steps):
-        return simulate_batch(
-            x0s, plant, n_steps, policy, carry, batched_dynamics=True
+    if controller_knows:
+        # policy closes over per-scenario model-parameter arrays — not cacheable
+        seg_fn = build_segment(batched_parking_policy(model_params, **policy_kwargs))
+    else:
+        cfg = (
+            N, float(ts),
+            None if x_obs is None else tuple(float(v) for v in np.asarray(x_obs)),
+            sqp_iters, qp_iters, solver, outer_iters, inner_iters,
+            backend, tile, plant_substeps, mesh, jnp.dtype(dtype).name,
+            tuple(
+                float(getattr(base, f.name))
+                for f in dataclasses.fields(base)
+            ),
         )
+        seg_fn = _SEGMENT_CACHE.get(cfg)
+        if seg_fn is None:
+            seg_fn = build_segment(
+                batched_parking_policy(model_params, **policy_kwargs)
+            )
+            _SEGMENT_CACHE[cfg] = seg_fn
 
     carry0 = initial_warm_carry(batch, N, dtype=dtype)
 
     if checkpoint_every <= 0:
-        res = jax.jit(segment, static_argnums=2)(x0s, carry0, steps)
+        res = seg_fn(x0s, plant_params, carry0, steps)
     else:
         import os
 
@@ -400,13 +437,12 @@ def parking_sweep(
             )
             x_cur = jnp.asarray(x_cur, dtype=dtype)
             carry = jnp.asarray(carry, dtype=dtype)
-        seg_fn = jax.jit(segment, static_argnums=2)
         pieces = []
         step_i = start
         x_start = x_cur  # resumed runs return only the remaining segments
         while step_i < steps:
             n = min(checkpoint_every, steps - step_i)
-            res_i = seg_fn(x_cur, carry, n)
+            res_i = seg_fn(x_cur, plant_params, carry, n)
             pieces.append(res_i)
             x_cur = res_i.states[-1]
             carry = res_i.final_carry
