@@ -559,6 +559,38 @@ def _stagewise_ip_tile_kernel(
         bar = bar_grad(gu, m, sig_mu, dua_s if use_corr else None)
         return [quad[a] + bar[a] for a in range(nu)]
 
+    # ---- candidate-finiteness guard -------------------------------------------------
+    def cand_finite_sweep(alpha, sig_mu):
+        """Parity with the XLA path's candidate check (``riccati_ip.py``
+        freeze-on-non-finite): a finite direction whose APPLIED update
+        overflows f32 must also freeze the lane, or inf poisons the stored
+        state permanently. Because the problem data is static and a frozen
+        lane's state never changes, re-rejecting the same candidate every
+        iteration (XLA) and latching the lane dead (here) are identical."""
+
+        def body(m, fin):
+            dz_x = gx.dz_rows(dx_s, m)
+            dz_u = gu.dz_rows(du_s, m)
+            x = gx.z_rows(m)
+            u = gu.z_rows(m)
+            for i in range(nx):
+                fin = fin * jnp.isfinite(x[i] + alpha * dz_x[i]).astype(f32)
+            for a in range(nu):
+                fin = fin * jnp.isfinite(u[a] + alpha * dz_u[a]).astype(f32)
+            for g, dz in ((gx, dz_x), (gu, dz_u)):
+                db, (sl, su, ll, lu) = db_group(g, m, dz, sig_mu, True)
+                for i in range(g.n):
+                    ds_l, ds_u, dl_l, dl_u = db[i]
+                    if g.ml[i]:
+                        fin = fin * jnp.isfinite(sl[i] + alpha * ds_l).astype(f32)
+                        fin = fin * jnp.isfinite(ll[i] + alpha * dl_l).astype(f32)
+                    if g.mu_[i]:
+                        fin = fin * jnp.isfinite(su[i] + alpha * ds_u).astype(f32)
+                        fin = fin * jnp.isfinite(lu[i] + alpha * dl_u).astype(f32)
+            return fin
+
+        return jax.lax.fori_loop(0, N, body, ones)
+
     # ---- state update sweep ---------------------------------------------------------
     def update_sweep(alpha, ok, sig_mu):
         """Apply the step on lanes with ``ok``; frozen/bad lanes keep their
@@ -653,11 +685,11 @@ def _stagewise_ip_tile_kernel(
     eps50 = 50.0 * float(np.finfo(np.float32).eps)
 
     def ip_cond(carry):
-        it, frozen = carry
-        return jnp.logical_and(it < iters, jnp.logical_not(jnp.all(frozen > 0.5)))
+        it, done, _dead = carry
+        return jnp.logical_and(it < iters, jnp.logical_not(jnp.all(done > 0.5)))
 
     def ip_body(carry):
-        it, _ = carry
+        it, _done, dead = carry
         mu = gap_sweep()
         frozen = (mu < eps50).astype(f32)
 
@@ -687,14 +719,18 @@ def _stagewise_ip_tile_kernel(
         alpha_raw, okf = alpha_sweep(dx_s, du_s, sig_mu, True)
         alpha = tau * alpha_raw
         okf = okf * jnp.isfinite(alpha).astype(f32)
+        okf = okf * cand_finite_sweep(alpha, sig_mu)
+        # a rejected lane recomputes the identical (deterministic) direction
+        # forever — latch it dead so it also satisfies the early exit
+        dead_new = jnp.maximum(dead, 1.0 - okf)
         ok = jnp.where((frozen > 0.5) | (okf < 0.5), 0.0, 1.0)
         update_sweep(alpha, ok, sig_mu)
 
         mu_new = gap_sweep()
-        frozen_new = (mu_new < eps50).astype(f32)
-        return it + 1, frozen_new
+        done_new = jnp.maximum((mu_new < eps50).astype(f32), dead_new)
+        return it + 1, done_new, dead_new
 
-    jax.lax.while_loop(ip_cond, ip_body, (jnp.int32(0), zeros))
+    jax.lax.while_loop(ip_cond, ip_body, (jnp.int32(0), zeros, zeros))
     mu_final = gap_sweep()
 
     # ---- active-set polish (augmented Lagrangian, same factorization structure) --
@@ -869,33 +905,26 @@ def _stagewise_ip_tile_kernel(
 # -----------------------------------------------------------------------------
 
 
-def _bound_scale_np(lb, ub):
-    both = np.isfinite(lb) & np.isfinite(ub)
-    one = np.isfinite(lb) | np.isfinite(ub)
-    width = np.where(both, 0.5 * (ub - lb), 0.0)
-    single = np.maximum(
-        np.abs(np.where(np.isfinite(lb), lb, 0.0)),
-        np.abs(np.where(np.isfinite(ub), ub, 0.0)),
-    )
-    return np.maximum(np.where(both, width, np.where(one, single, 1.0)), 1e-8)
-
-
 def _equilibrate_np(A, B, Q, R, Pf, x_lb, x_ub, u_lb, u_ub):
-    """float64 replica of ``stagewise_ip_solve``'s structural equilibration."""
+    """``stagewise_ip_solve``'s structural equilibration, evaluated in float64
+    numpy at trace time. The subtle rules (``bound_scale``,
+    ``cost_normalizer``) are imported from the solver module itself — one
+    definition for both paths — and only the trivial diagonal rescaling of
+    the matrices is restated here for the single-matrix (LTI) shapes."""
+    from ...solvers.riccati_ip import bound_scale, cost_normalizer
+
     A, B, Q, R, Pf = (np.asarray(v, np.float64) for v in (A, B, Q, R, Pf))
     x_lb, x_ub, u_lb, u_ub = (
         np.asarray(v, np.float64) for v in (x_lb, x_ub, u_lb, u_ub)
     )
-    w_x = _bound_scale_np(x_lb, x_ub)
-    w_u = _bound_scale_np(u_lb, u_ub)
+    w_x = bound_scale(x_lb, x_ub, xp=np)
+    w_u = bound_scale(u_lb, u_ub, xp=np)
     A_s = A * (w_x[None, :] / w_x[:, None])
     B_s = B * (w_u[None, :] / w_x[:, None])
     Q_s = Q * (w_x[:, None] * w_x[None, :])
     R_s = R * (w_u[:, None] * w_u[None, :])
     Pf_s = Pf * (w_x[:, None] * w_x[None, :])
-    c = 1.0 / max(
-        np.max(np.abs(Q_s)), np.max(np.abs(R_s)), np.max(np.abs(Pf_s)), 1e-8
-    )
+    c = cost_normalizer(Q_s, R_s, Pf_s, xp=np)
     return (
         A_s,
         B_s,

@@ -327,8 +327,10 @@ def batched_plant(plant_params: VehicleParameters, ts: float, substeps: int = 16
 # perturbed plant parameters flow in as pytree ARGUMENTS, so new data never
 # stales a cache entry. Only the controller_knows=False path is cached — with
 # controller_knows=True the policy closes over the per-scenario model
-# parameter arrays themselves.
+# parameter arrays themselves. Bounded FIFO: each entry pins compiled
+# executables, so an unbounded dict would leak across a long parameter study.
 _SEGMENT_CACHE: dict = {}
+_SEGMENT_CACHE_MAX = 16
 
 
 def parking_sweep(
@@ -416,6 +418,8 @@ def parking_sweep(
         )
         seg_fn = _SEGMENT_CACHE.get(cfg)
         if seg_fn is None:
+            if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+                _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
             seg_fn = build_segment(
                 batched_parking_policy(model_params, **policy_kwargs)
             )

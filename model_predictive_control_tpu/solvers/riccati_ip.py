@@ -44,6 +44,32 @@ from ..utils.pytree import pytree_dataclass, static_field
 _BIG = 1e20
 
 
+def bound_scale(lb, ub, xp=jnp):
+    """Per-entry variable scaling from box widths (shared equilibration rule).
+
+    Two-sided bounds → half-width; one-sided → magnitude of the finite bound;
+    unbounded → 1; floored at 1e-8. ``xp`` lets the Pallas kernel wrapper
+    (``ops/pallas/riccati_ip_kernel.py``) evaluate the SAME rule in float64
+    numpy at trace time — one definition, no silent drift between the paths.
+    """
+    both = xp.isfinite(lb) & xp.isfinite(ub)
+    one = xp.isfinite(lb) | xp.isfinite(ub)
+    width = xp.where(both, 0.5 * (ub - lb), 0.0)
+    single = xp.maximum(
+        xp.abs(xp.where(xp.isfinite(lb), lb, 0.0)),
+        xp.abs(xp.where(xp.isfinite(ub), ub, 0.0)),
+    )
+    return xp.maximum(xp.where(both, width, xp.where(one, single, 1.0)), 1e-8)
+
+
+def cost_normalizer(Qs, Rs, Pf, xp=jnp):
+    """Scalar cost scaling 1/max(|Q|, |R|, |Pf|, 1e-8) (shared with the kernel)."""
+    return 1.0 / xp.maximum(
+        xp.maximum(xp.max(xp.abs(Qs)), xp.max(xp.abs(Rs))),
+        xp.maximum(xp.max(xp.abs(Pf)), 1e-8),
+    )
+
+
 class _Bounds(NamedTuple):
     """Per-bound-group interior-point state for one variable block ``z``.
 
@@ -344,16 +370,8 @@ def stagewise_ip_solve(
     # make every variable, slack, and multiplier O(1); the IP converges in ~1/3
     # the iterations. Same role as Ruiz equilibration in ``qp_setup``
     # (solvers/qp.py), but computed structurally instead of iteratively.
-    def bound_scale(lb, ub):
-        both = jnp.isfinite(lb) & jnp.isfinite(ub)
-        one = jnp.isfinite(lb) | jnp.isfinite(ub)
-        width = jnp.where(both, 0.5 * (ub - lb), 0.0)
-        single = jnp.maximum(
-            jnp.abs(jnp.where(jnp.isfinite(lb), lb, 0.0)),
-            jnp.abs(jnp.where(jnp.isfinite(ub), ub, 0.0)),
-        )
-        return jnp.maximum(jnp.where(both, width, jnp.where(one, single, 1.0)), 1e-8)
-
+    # (``bound_scale``/``cost_normalizer`` are module-level so the Pallas
+    # kernel wrapper applies the identical rule.)
     w_x = jnp.max(bound_scale(x_lb, x_ub), axis=0)  # (nx,)
     w_u = jnp.max(bound_scale(u_lb, u_ub), axis=0)  # (nu,)
 
@@ -362,10 +380,7 @@ def stagewise_ip_solve(
     Qs_sc = Qs * (w_x[None, :, None] * w_x[None, None, :])
     Rs_sc = Rs * (w_u[None, :, None] * w_u[None, None, :])
     Pf_sc = Pf * (w_x[:, None] * w_x[None, :])
-    c_cost = 1.0 / jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(Qs_sc)), jnp.max(jnp.abs(Rs_sc))),
-        jnp.maximum(jnp.max(jnp.abs(Pf_sc)), 1e-8),
-    )
+    c_cost = cost_normalizer(Qs_sc, Rs_sc, Pf_sc)
     Qs = c_cost * Qs_sc
     Rs = c_cost * Rs_sc
     Pf = c_cost * Pf_sc
