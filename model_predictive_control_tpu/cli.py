@@ -46,6 +46,17 @@ def main(argv=None) -> int:
             action="store_true",
             help="slack-softened state constraints (QP feasible at every state)",
         )
+        ps.add_argument(
+            "--terminal-set",
+            action="store_true",
+            help="constrain x_N to the certified inner box of the invariant "
+            "DARE ellipsoid (terminal cost + set: recursive feasibility); "
+            "shrinks the feasible region, so pair with a nearer --x0",
+        )
+        ps.add_argument(
+            "--x0", type=float, nargs=2, default=None,
+            help="initial state (p, v); default (-100, 20)",
+        )
         _add_common(ps)
 
     p4 = sub.add_parser("session4", help="nonlinear parking MPC")
@@ -106,6 +117,8 @@ def main(argv=None) -> int:
             solver=args.solver,
             iters=args.iters,
             soft=args.soft,
+            terminal_set=args.terminal_set,
+            x0=tuple(args.x0) if args.x0 is not None else (-100.0, 20.0),
         )
     elif args.cmd == "session4":
         from .experiments import session4

@@ -31,6 +31,7 @@ def closed_loop_linear_mpc(
     iters: int = 200,
     terminal: str | None = None,
     soft: bool = False,
+    terminal_set: bool = False,
     dtype=jnp.float32,
 ):
     """One closed-loop run. ``terminal`` defaults to "Q" for session 2 and "dare"
@@ -50,7 +51,7 @@ def closed_loop_linear_mpc(
     ctrl = jax.jit(
         lambda: make_linear_mpc(
             problem, solver=solver, iters=iters, dtype=dtype, terminal=terminal,
-            soft_state=soft,
+            soft_state=soft, terminal_set=terminal_set,
         )
     )()
     system = problem.system(dtype)
@@ -75,10 +76,13 @@ def run(
     solver: str = "admm",
     iters: int = 200,
     soft: bool = False,
+    terminal_set: bool = False,
+    x0=DEFAULT_X0,
 ) -> dict:
     """Driver: closed loop + constraint-respect checks + plots. JSON-able summary."""
     res, ctrl, problem = closed_loop_linear_mpc(
-        session=session, N=N, steps=steps, solver=solver, iters=iters, soft=soft
+        session=session, N=N, steps=steps, x0=x0, solver=solver, iters=iters,
+        soft=soft, terminal_set=terminal_set,
     )
     states = np.asarray(res.states)
     inputs = np.asarray(res.inputs)

@@ -240,11 +240,18 @@ def build_condensed_qp(
     x_min: jnp.ndarray,
     x_max: jnp.ndarray,
     x_ref: jnp.ndarray | None = None,
+    x_term_min: jnp.ndarray | None = None,
+    x_term_max: jnp.ndarray | None = None,
 ) -> CondensedQP:
     """Assemble the condensed QP from problem data.
 
     ``x_ref`` (shape ``(nx,)`` or ``(N, nx)``) enables the session-3 tracking
     variant: the stage cost becomes ``(x_k − x_ref_k)ᵀ Q (x_k − x_ref_k)``.
+
+    ``x_term_min/x_term_max`` tighten the LAST state block's box (terminal-set
+    constraint on ``x_N``, intersected with the stage box — e.g. the certified
+    inner box of the DARE invariant ellipsoid from
+    :func:`...solvers.lqr.lqr_terminal_set`).
     """
     nx, nu = B.shape
     dtype = B.dtype
@@ -279,6 +286,16 @@ def build_condensed_qp(
     A_c = jnp.concatenate([jnp.eye(N * nu, dtype=dtype), Gamma], axis=0)
 
     tile = lambda v: jnp.tile(jnp.asarray(v, dtype=dtype), N)
+    x_lb_full = tile(x_min)
+    x_ub_full = tile(x_max)
+    if x_term_min is not None:
+        x_lb_full = x_lb_full.at[-nx:].set(
+            jnp.maximum(x_lb_full[-nx:], jnp.asarray(x_term_min, dtype=dtype))
+        )
+    if x_term_max is not None:
+        x_ub_full = x_ub_full.at[-nx:].set(
+            jnp.minimum(x_ub_full[-nx:], jnp.asarray(x_term_max, dtype=dtype))
+        )
     return CondensedQP(
         P=P,
         A_c=A_c,
@@ -288,8 +305,8 @@ def build_condensed_qp(
         q_const=q_const,
         u_lb=tile(u_min),
         u_ub=tile(u_max),
-        x_lb=tile(x_min),
-        x_ub=tile(x_max),
+        x_lb=x_lb_full,
+        x_ub=x_ub_full,
         N=N,
         nx=nx,
         nu=nu,

@@ -285,12 +285,20 @@ def make_linear_mpc(
     soft_state: bool = False,
     slack_weight: float = 100.0,
     slack_linear: float = 1.0,
+    terminal_set: bool = False,
 ) -> LinearMPC:
     """Build a :class:`LinearMPC` from session-2/3 problem data.
 
     ``terminal``: "Q" uses QN = Q (plain), "dare" uses the infinite-horizon Riccati
     solution as terminal cost (the session-3 "terminal cost/set" upgrade, giving
     stability margins at short horizons).
+
+    ``terminal_set=True`` (implies the DARE terminal cost) additionally
+    constrains ``x_N`` to the certified inner box of the largest invariant
+    DARE-ellipsoid on which the unconstrained LQR law respects all boxes
+    (:func:`.lqr.lqr_terminal_set`) — the classic terminal cost + terminal set
+    pair that makes receding-horizon MPC recursively feasible and stabilizing.
+    Incompatible with ``x_ref`` tracking (the set certifies the origin).
 
     ``soft_state=True`` softens the state boxes with per-stage slacks (quadratic
     weight ``slack_weight`` + ℓ1 weight ``slack_linear``): the QP stays feasible at
@@ -302,8 +310,24 @@ def make_linear_mpc(
     Q = jnp.diag(jnp.asarray(problem.Q, dtype=dtype))
     R = jnp.diag(jnp.asarray(problem.R, dtype=dtype))
 
+    u_min = jnp.asarray([problem.u_min], dtype=dtype)
+    u_max = jnp.asarray([problem.u_max], dtype=dtype)
+    x_min = jnp.asarray([problem.p_min, problem.v_min], dtype=dtype)
+    x_max = jnp.asarray([problem.p_max, problem.v_max], dtype=dtype)
+
     terminal_P = None
-    if terminal == "dare":
+    x_term_min = x_term_max = None
+    if terminal_set:
+        if x_ref is not None:
+            raise ValueError("terminal_set certifies the origin; drop x_ref")
+        from .lqr import lqr_terminal_set
+
+        terminal_P, _K, _alpha, d = lqr_terminal_set(
+            sys.A, sys.B, Q, R, x_min, x_max, u_min, u_max
+        )
+        QN = terminal_P
+        x_term_min, x_term_max = -d, d
+    elif terminal == "dare":
         from ..ops.riccati import dare_sda
 
         terminal_P = dare_sda(sys.A, sys.B, Q, R)
@@ -318,11 +342,13 @@ def make_linear_mpc(
         R,
         QN,
         problem.N,
-        u_min=jnp.asarray([problem.u_min], dtype=dtype),
-        u_max=jnp.asarray([problem.u_max], dtype=dtype),
-        x_min=jnp.asarray([problem.p_min, problem.v_min], dtype=dtype),
-        x_max=jnp.asarray([problem.p_max, problem.v_max], dtype=dtype),
+        u_min=u_min,
+        u_max=u_max,
+        x_min=x_min,
+        x_max=x_max,
         x_ref=x_ref,
+        x_term_min=x_term_min,
+        x_term_max=x_term_max,
     )
     if soft_state:
         qp = soften_condensed_qp(
