@@ -44,6 +44,7 @@ class CondensedQP:
     A_c: jnp.ndarray  # (m, n) constraint matrix [I; Γ], m = N*nu + N*nx
     Phi: jnp.ndarray  # (N*nx, nx)
     Gamma: jnp.ndarray  # (N*nx, n)
+    QG: jnp.ndarray  # (N*nx, n) Q̄Γ — tracking linear terms are −2·QGᵀx̄ref
     q_x0: jnp.ndarray  # (n, nx): q(x0) = q_x0 @ x0 + q_const
     q_const: jnp.ndarray  # (n,)
     u_lb: jnp.ndarray  # (n,) input lower bounds
@@ -82,6 +83,17 @@ class CondensedQP:
     def predict_states(self, x0: jnp.ndarray, u_flat: jnp.ndarray) -> jnp.ndarray:
         """x̄ = Φ x0 + Γ ū, reshaped to (N, nx)."""
         return (self.Phi @ x0 + self.Gamma @ u_flat).reshape(self.N, self.nx)
+
+    @solver_precision
+    def ref_linear_term(self, x_ref: jnp.ndarray) -> jnp.ndarray:
+        """Tracking linear term ``−2·ΓᵀQ̄·x̄ref`` for a reference window.
+
+        ``x_ref``: (N, nx) — the per-MPC-step quantity behind *preview*
+        tracking (the receding reference window sliced from a full reference
+        trajectory each closed-loop step). Equals the build-time ``q_const``
+        when the window is the baked constant reference.
+        """
+        return -2.0 * self.QG.T @ x_ref.reshape(self.N * self.nx)
 
 
 @pytree_dataclass
@@ -301,6 +313,7 @@ def build_condensed_qp(
         A_c=A_c,
         Phi=Phi,
         Gamma=Gamma,
+        QG=QbarGamma,
         q_x0=q_x0,
         q_const=q_const,
         u_lb=tile(u_min),

@@ -139,13 +139,24 @@ class LinearMPC:
             )
         return x_warm, y_warm
 
-    def solve(self, x0: jnp.ndarray, warm: tuple | None = None):
+    def solve(
+        self,
+        x0: jnp.ndarray,
+        warm: tuple | None = None,
+        q_extra: jnp.ndarray | None = None,
+    ):
         """Solve the MPC QP at measured state ``x0``.
+
+        ``q_extra`` adds to the leading entries of the linear term (the ū
+        block) — the preview-tracking hook (``CondensedQP.ref_linear_term``);
+        on the slack-softened QP it leaves the slack entries untouched.
 
         Returns ``(u_traj (N, nu), sol)`` where ``sol`` carries duals/residuals/
         convergence (the ``solver_success`` analog).
         """
         q, l, u = self.qp.qp_vectors(x0)
+        if q_extra is not None:
+            q = q.at[: q_extra.shape[0]].add(q_extra)
         if self.solver == "admm":
             sol = admm_solve(self.op, q, l, u, iters=self.iters, warm=warm)
         elif self.solver == "pdip":
@@ -189,6 +200,44 @@ class LinearMPC:
         n = self.qp.n
         m = self.qp.m
         return (jnp.zeros(n, dtype=dtype), jnp.zeros(m, dtype=dtype))
+
+    def tracking_policy(self, ref_traj: jnp.ndarray) -> Policy:
+        """Preview-tracking receding-horizon policy.
+
+        ``ref_traj``: (steps + N, nx) reference states — at closed-loop step t
+        the MPC tracks the window ``ref_traj[t+1 : t+1+N]`` (stage costs weight
+        x_1..x_N), so the controller *anticipates* reference motion instead of
+        chasing a fixed setpoint. The trajectory must be padded N rows past the
+        simulation length (repeat the final reference). Build the controller
+        WITHOUT a baked ``x_ref`` (the window term replaces ``q_const``'s role).
+
+        Same carry/aux contract as :meth:`policy`; aux additionally reports
+        ``ref`` (the stage-1 reference tracked this step).
+        """
+        base = self.qp.base if self.soft else self.qp
+        N, nx = base.N, base.nx
+        ref_traj = jnp.asarray(ref_traj)
+
+        def policy_fn(x, t, carry):
+            warm = carry if (isinstance(carry, tuple) and len(carry) == 2) else None
+            window = jax.lax.dynamic_slice_in_dim(ref_traj, t + 1, N, axis=0)
+            q_extra = base.ref_linear_term(window)
+            u_traj, sol = self.solve(x, warm=warm, q_extra=q_extra)
+            x_pred = self.qp.predict_states(x, sol.x)
+            x_warm, y_warm = self._shift_warm(sol.x, sol.y)
+            aux = {
+                "solver_success": sol.converged,
+                "state_prediction": x_pred,
+                "input_prediction": u_traj,
+                "prim_res": sol.prim_res,
+                "dual_res": sol.dual_res,
+                "ref": window[0],
+            }
+            if self.soft:
+                aux["max_slack"] = jnp.max(sol.x[N * base.nu :])
+            return u_traj[0], (x_warm, y_warm), aux
+
+        return policy_fn
 
     def batched_policy(self, backend: str = "pallas", tile: int = 256):
         """Batch-level receding-horizon policy for
