@@ -849,11 +849,14 @@ def _stagewise_ip_tile_kernel(
     scale = 1.0 + scale_m
     feas_tol = 1e-4 * scale
     # f32 indicator products, not boolean-vector &/select — Mosaic cannot
-    # legalize i1-vector truncation/selects at these shapes
+    # legalize i1-vector truncation/selects at these shapes. dual_ok gates
+    # ACCEPTANCE (not just success): a sign-inconsistent polish means the
+    # active set was misidentified, so the IP iterate is kept (XLA parity).
     polish_ok = (
         polish_fin
         * (polish_viol < feas_tol).astype(f32)
         * (mu_final < 1e-2 * scale).astype(f32)
+        * dual_ok
     )
 
     def blend(m, _):
@@ -878,11 +881,9 @@ def _stagewise_ip_tile_kernel(
 
     prim_res = prim_sweep(None)
     mu_trust = 1e-4 * scale
-    succ_polished = (
-        dual_ok
-        * (prim_res < feas_tol).astype(f32)
-        * (mu_final < mu_trust).astype(f32)
-    )
+    succ_polished = (prim_res < feas_tol).astype(f32) * (
+        mu_final < mu_trust
+    ).astype(f32)
     succ_plain = (mu_final < feas_tol).astype(f32) * (
         prim_res < feas_tol
     ).astype(f32)
@@ -1099,6 +1100,12 @@ def stagewise_ip_solve_pallas(
         raise ValueError("tile must be a multiple of 128")
     nu = int(np.shape(B)[-1])
     nx = int(np.shape(B)[-2])
+    if any(np.ndim(v) > 1 for v in (x_lb, x_ub, u_lb, u_ub)):
+        raise NotImplementedError(
+            "the fused stagewise-IP kernel bakes TIME-INVARIANT bounds as "
+            "constants; per-stage (N, n) bounds (e.g. make_stagewise_mpc("
+            "terminal_set=True)) need the XLA backend"
+        )
     if nu > 2:
         raise NotImplementedError(
             "fused stagewise IP kernel supports nu <= 2 (closed-form Quu "

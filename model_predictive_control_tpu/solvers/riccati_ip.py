@@ -602,7 +602,13 @@ def stagewise_ip_solve(
     scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(us)), jnp.max(jnp.abs(xs)))
     feas_tol = jnp.asarray(max(tol, 1e-7) if dt == jnp.float64 else 1e-4, dt) * scale
     polish_viol = jnp.maximum(viol(xs_p[1:], x_lb, x_ub), viol(us_p, u_lb, u_ub))
-    # polished multipliers must also sit on the correct side of zero
+    # Polished multipliers must sit on the correct side of zero. A violation
+    # means the active set was MISidentified (e.g. the f32 iterate freezes at
+    # μ ≈ 50·eps with a weakly-active bound the exact optimum leaves inactive
+    # — observed on near-degenerate terminal-set boxes), so the polish is
+    # REJECTED outright: forcing the wrong boundary would replace a decent IP
+    # iterate with a suboptimal trajectory. The unpolished iterate is then
+    # judged by the plain (μ, feasibility) criterion.
     dual_ok = jnp.all(
         jnp.where(act_x, jnp.sign(lhat_x) * jnp.where(tgt_x == x_ub, 1.0, -1.0) > -1e-6, True)
     ) & jnp.all(
@@ -613,6 +619,7 @@ def stagewise_ip_solve(
         & jnp.all(jnp.isfinite(xs_p))
         & (polish_viol < feas_tol)
         & (mu < 1e-2 * scale)
+        & dual_ok
     )
     xs = jnp.where(polish_ok, xs_p, xs)
     us = jnp.where(polish_ok, us_p, us)
@@ -620,11 +627,11 @@ def stagewise_ip_solve(
     prim_res = jnp.maximum(viol(xs[1:], x_lb, x_ub), viol(us, u_lb, u_ub))
     # Success needs the duality measure small enough that the active-set read is
     # trustworthy (a feasible polish off a half-converged iterate can be feasible
-    # yet suboptimal), plus dual-sign consistency and primal feasibility.
+    # yet suboptimal), plus primal feasibility.
     mu_trust = jnp.asarray(1e-4, dt) * scale
     success = jnp.where(
         polish_ok,
-        dual_ok & (prim_res < feas_tol) & (mu < mu_trust),
+        (prim_res < feas_tol) & (mu < mu_trust),
         (mu < feas_tol) & (prim_res < feas_tol),
     )
     # map back out of the equilibrated space (multipliers divide by the cost and
@@ -724,6 +731,15 @@ class StagewiseMPC:
         if backend == "pallas":
             from ..ops.pallas.riccati_ip_kernel import stagewise_ip_solve_pallas
 
+            if any(
+                np.ndim(v) > 1
+                for v in (self.x_lb, self.x_ub, self.u_lb, self.u_ub)
+            ):
+                raise NotImplementedError(
+                    "the fused stagewise-IP kernel bakes TIME-INVARIANT "
+                    "bounds; per-stage (N, n) bounds (terminal_set=True) "
+                    "need backend='xla'"
+                )
             static = tuple(
                 np.asarray(v)
                 for v in (
@@ -773,32 +789,58 @@ def make_stagewise_mpc(
     N: int | None = None,
     terminal: str = "Q",
     parallel: bool = False,
+    terminal_set: bool = False,
 ) -> StagewiseMPC:
     """Build a :class:`StagewiseMPC` from session-2/3 ``Problem`` data.
 
     ``terminal="dare"`` uses the infinite-horizon Riccati solution as terminal
     weight (same option as ``make_linear_mpc``).
+
+    ``terminal_set=True`` (implies the DARE terminal cost) tightens the LAST
+    stage's state box to the certified inner box of the invariant DARE
+    ellipsoid (:func:`.lqr.lqr_terminal_set`) — the solver takes per-stage
+    ``(N, nx)`` bounds natively, so this costs nothing. Note the fused Pallas
+    backend (``batched_policy(backend="pallas")``) bakes time-invariant bounds
+    and rejects the resulting stagewise bounds; use the default XLA backend.
     """
     sys = problem.system(dtype)
     Q = jnp.diag(jnp.asarray(problem.Q, dtype=dtype))
     R = jnp.diag(jnp.asarray(problem.R, dtype=dtype))
-    if terminal == "dare":
+    if terminal == "dare" or terminal_set:
         from ..ops.riccati import dare_sda
 
         Pf = dare_sda(sys.A, sys.B, Q, R)
     else:
         Pf = Q
+    N_eff = N if N is not None else problem.N
+    x_lb = jnp.asarray([problem.p_min, problem.v_min], dtype=dtype)
+    x_ub = jnp.asarray([problem.p_max, problem.v_max], dtype=dtype)
+    u_lb = jnp.asarray([problem.u_min], dtype=dtype)
+    u_ub = jnp.asarray([problem.u_max], dtype=dtype)
+    if terminal_set:
+        from .lqr import lqr_terminal_set
+
+        _P, _K, _alpha, d = lqr_terminal_set(
+            sys.A, sys.B, Q, R, x_lb, x_ub, u_lb, u_ub
+        )
+        nx = x_lb.shape[0]
+        x_lb = jnp.broadcast_to(x_lb, (N_eff, nx)).at[-1].set(
+            jnp.maximum(x_lb, -d)
+        )
+        x_ub = jnp.broadcast_to(x_ub, (N_eff, nx)).at[-1].set(
+            jnp.minimum(x_ub, d)
+        )
     return StagewiseMPC(
         A=sys.A,
         B=sys.B,
         Q=Q,
         R=R,
         Pf=Pf,
-        x_lb=jnp.asarray([problem.p_min, problem.v_min], dtype=dtype),
-        x_ub=jnp.asarray([problem.p_max, problem.v_max], dtype=dtype),
-        u_lb=jnp.asarray([problem.u_min], dtype=dtype),
-        u_ub=jnp.asarray([problem.u_max], dtype=dtype),
-        N=N if N is not None else problem.N,
+        x_lb=x_lb,
+        x_ub=x_ub,
+        u_lb=u_lb,
+        u_ub=u_ub,
+        N=N_eff,
         iters=iters,
         parallel=parallel,
     )

@@ -104,6 +104,34 @@ def test_closed_loop_recursive_feasibility():
     assert float(jnp.linalg.norm(res.states[-1])) < 1e-3
 
 
+def test_stagewise_terminal_set_closed_loop():
+    """The long-horizon stagewise controller takes per-stage bounds natively:
+    terminal_set=True tightens only the last stage and preserves recursive
+    feasibility in closed loop; the Pallas backend rejects stagewise bounds
+    with a clear error."""
+    problem = mpc.session2_problem(N=20)
+    ctrl = mpc.make_stagewise_mpc(
+        problem, iters=25, dtype=jnp.float64, terminal_set=True
+    )
+    assert ctrl.x_ub.shape == (20, 2)
+    assert float(ctrl.x_ub[-1, 1]) < float(ctrl.x_ub[0, 1])
+
+    system = problem.system(jnp.float64)
+    res = mpc.simulate(
+        jnp.asarray([-15.0, 8.0], jnp.float64), system, steps=40,
+        policy=ctrl.policy(), policy_carry=ctrl.initial_carry(jnp.float64),
+    )
+    assert bool(jnp.all(res.logs["solver_success"]))
+    assert float(jnp.linalg.norm(res.states[-1])) < 1e-3
+
+    try:
+        ctrl.batched_policy(backend="pallas")
+    except NotImplementedError:
+        pass
+    else:
+        raise AssertionError("pallas backend must reject per-stage bounds")
+
+
 def test_terminal_set_rejects_x_ref():
     problem = mpc.session2_problem(N=20)
     try:
