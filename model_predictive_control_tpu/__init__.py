@@ -45,6 +45,7 @@ from .solvers.lqr import (
     receding_horizon_policy,
     prediction_policy,
     cost_to_go,
+    lqr_terminal_set,
 )
 from .ops.condensed import (
     CondensedQP,
