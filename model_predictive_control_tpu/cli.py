@@ -154,6 +154,25 @@ def main(argv=None) -> int:
             t.fence(res.states)
         summary["wall_s"] = round(t.elapsed, 3)
         summary["solves_per_s"] = round(args.batch * args.steps / t.elapsed, 1)
+        # steady-state throughput: the first call pays trace+compile; a second
+        # run (fresh key, jitted-segment cache hit) measures the device loop
+        with Timer() as t2:
+            res2, _ = parking_sweep(
+                batch=args.batch,
+                steps=args.steps,
+                key=jax.random.PRNGKey(1),
+                N=args.horizon,
+                rel_scale=args.rel_scale,
+                controller_knows=args.controller_knows,
+                solver=args.solver,
+                sqp_iters=args.sqp_iters,
+                mesh=mesh,
+            )
+            t2.fence(res2.states)
+        summary["wall_s_steady"] = round(t2.elapsed, 3)
+        summary["solves_per_s_steady"] = round(
+            args.batch * args.steps / t2.elapsed, 1
+        )
     elif args.cmd == "podscale":
         summary = _podscale(args)
     else:  # pragma: no cover
