@@ -65,6 +65,10 @@ def main(argv=None) -> int:
     p4.add_argument("--sqp-iters", type=int, default=15)
     p4.add_argument("--solver", choices=("sqp", "ilqr"), default="sqp")
     p4.add_argument("--animate", action="store_true")
+    p4.add_argument(
+        "--exercise", type=int, choices=(3, 4), default=None,
+        help="run the open-loop exercise-3/4 driver instead of the closed loop",
+    )
     _add_common(p4)
 
     pw = sub.add_parser(
@@ -123,14 +127,21 @@ def main(argv=None) -> int:
     elif args.cmd == "session4":
         from .experiments import session4
 
-        summary = session4.run(
-            variant=args.variant,
-            steps=args.steps,
-            outdir=args.outdir,
-            animate=args.animate,
-            sqp_iters=args.sqp_iters,
-            solver=args.solver,
-        )
+        if args.exercise is not None:
+            summary = session4.run_open_loop(
+                exercise=args.exercise,
+                outdir=args.outdir,
+                sqp_iters=args.sqp_iters,
+            )
+        else:
+            summary = session4.run(
+                variant=args.variant,
+                steps=args.steps,
+                outdir=args.outdir,
+                animate=args.animate,
+                sqp_iters=args.sqp_iters,
+                solver=args.solver,
+            )
     elif args.cmd == "sweep":
         from .parallel import make_mesh, parking_sweep
         from .obs.metrics import Timer

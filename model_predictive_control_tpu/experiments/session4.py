@@ -49,6 +49,8 @@ MAIN_X_OBS = (0.25, 0.0, 0.0, 0.0)
 MAIN_N = 30
 MAIN_TS = 0.08
 MAIN_STEPS = 100
+# session4_sol.py:344,393,447: exercises 3/4/5 all start from [0.6, -0.25, 0, 0]
+SOL_X0 = (0.6, -0.25, 0.0, 0.0)
 # session4_sol.py:445-449
 SOL_N = 50
 SOL_TS = 0.05
@@ -152,7 +154,7 @@ def _solve_plan(
 def open_loop_parking(
     N: int = SOL_N,
     ts: float = SOL_TS,
-    x0=MAIN_X0,
+    x0=SOL_X0,
     sqp_iters: int = 25,
     dtype=jnp.float32,
 ):
@@ -170,23 +172,25 @@ def open_loop_parking(
 def mismatch_open_loop(
     N: int = SOL_N,
     ts: float = SOL_TS,
-    x0=MAIN_X0,
+    x0=SOL_X0,
     friction_scale: float = MISMATCH_FRICTION,
     sqp_iters: int = 25,
     dtype=jnp.float32,
 ):
-    """Exercise 4: the nominal plan replayed on a plant with perturbed friction.
-    Returns ``(u_plan, x_nominal, x_mismatched, rel_err)``."""
+    """Exercise 4 (``session4_sol.py:389-440``): the nominal plan replayed under
+    the *assumed* model (forward-Euler, nominal params, ``:406-408``) and under
+    the true plant — exact integration with ``friction × 0.8`` (``:410-414``).
+    Returns ``(u_plan, x_assumed, x_true, rel_err)``."""
     params = VehicleParameters()
     mpc, sol = _solve_plan(params, N, ts, x0, sqp_iters=sqp_iters, dtype=dtype)
     u_plan = sol.u.reshape(N, 2)
     x0 = jnp.asarray(x0, dtype=dtype)
-    x_nom = jax.jit(lambda: rollout(x0, _plant(params, ts, "exact"), u_plan))()
+    x_assumed = jax.jit(lambda: rollout(x0, _plant(params, ts, "euler"), u_plan))()
     params_mm = dataclasses.replace(
         params, friction=params.friction * friction_scale
     )
-    x_mm = jax.jit(lambda: rollout(x0, _plant(params_mm, ts, "exact"), u_plan))()
-    return u_plan, x_nom, x_mm, relative_error(x_nom, x_mm)
+    x_true = jax.jit(lambda: rollout(x0, _plant(params_mm, ts, "exact"), u_plan))()
+    return u_plan, x_assumed, x_true, relative_error(x_assumed, x_true)
 
 
 def closed_loop_parking(
@@ -196,15 +200,21 @@ def closed_loop_parking(
     sqp_iters: int = 15,
     qp_iters: int = 40,
     solver: str = "sqp",
+    plant: str = "exact",
+    x0=None,
     dtype=jnp.float32,
 ):
     """Receding-horizon closed loop (exercise 5 / ``main()``).
 
-    ``variant="main"``: obstacle scenario, N=30, ts=0.08, exact plant
-    (``main.py:241-271``). ``variant="sol"``: no obstacle, N=50, ts=0.05
-    (``session4_sol.py:443-465``); ``mismatch=True`` scales the plant friction by
-    0.8 while the controller keeps the nominal model. ``solver`` selects the
-    per-step optimizer: ``"sqp"`` (condensed-QP SQP) or ``"ilqr"`` (AL-iLQR).
+    ``variant="main"``: obstacle scenario, N=30, ts=0.08, x0=[0.3,-0.1,0,0],
+    exact plant (``main.py:241-271``). ``variant="sol"``: no obstacle, N=50,
+    ts=0.05, x0=[0.6,-0.25,0,0] (``session4_sol.py:443-465``); ``mismatch=True``
+    scales the plant friction by 0.8 while the controller keeps the nominal
+    model. ``plant`` selects the plant integration tier: ``"exact"`` (fine RK4,
+    the ``odeint`` stand-in) or ``"euler"`` (the prediction model itself — the
+    reference e5's first run, ``session4_sol.py:452-458``). ``solver`` selects
+    the per-step optimizer: ``"sqp"`` (condensed-QP SQP) or ``"ilqr"``
+    (AL-iLQR).
 
     Returns ``(SimResult, controller, params)``.
     """
@@ -212,9 +222,11 @@ def closed_loop_parking(
     if variant == "main":
         N, ts, x_obs, weights = MAIN_N, MAIN_TS, MAIN_X_OBS, "main"
         steps = MAIN_STEPS if steps is None else steps
+        x0 = MAIN_X0 if x0 is None else x0
     elif variant == "sol":
         N, ts, x_obs, weights = SOL_N, SOL_TS, None, "sol"
         steps = SOL_STEPS if steps is None else steps
+        x0 = SOL_X0 if x0 is None else x0
     else:
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -243,16 +255,98 @@ def closed_loop_parking(
         if mismatch
         else params
     )
-    plant = _plant(plant_params, ts, "exact")
+    plant_fn = _plant(plant_params, ts, plant)
 
     run = jax.jit(
         lambda x0: simulate(
-            x0, plant, steps=steps,
+            x0, plant_fn, steps=steps,
             policy=mpc.policy(), policy_carry=mpc.initial_carry(dtype),
         )
     )
-    res = run(jnp.asarray(MAIN_X0, dtype=dtype))
+    res = run(jnp.asarray(x0, dtype=dtype))
     return res, mpc, params
+
+
+def two_plant_closed_loop(
+    steps: int = SOL_STEPS,
+    sqp_iters: int = 15,
+    solver: str = "sqp",
+    dtype=jnp.float32,
+):
+    """Exercise 5 faithful driver (``session4_sol.py:443-481``): the same MPC
+    controller run closed-loop under TWO plants — (a) the assumed model
+    (forward-Euler bicycle, nominal parameters, ``:452-458``) and (b) the true
+    plant (exact integration with ``friction × 0.8``, ``:460-465``) — plus the
+    per-step relative error between the two trajectories (``:477``).
+
+    Returns ``(res_model, res_exact, rel_err, params)``.
+    """
+    res_model, _, params = closed_loop_parking(
+        variant="sol", steps=steps, mismatch=False, plant="euler",
+        sqp_iters=sqp_iters, solver=solver, dtype=dtype,
+    )
+    res_exact, _, _ = closed_loop_parking(
+        variant="sol", steps=steps, mismatch=True, plant="exact",
+        sqp_iters=sqp_iters, solver=solver, dtype=dtype,
+    )
+    rel = relative_error(res_exact.states, res_model.states)
+    return res_model, res_exact, rel, params
+
+
+def run_open_loop(
+    exercise: int = 3,
+    N: int = SOL_N,
+    ts: float = SOL_TS,
+    outdir: str | None = None,
+    sqp_iters: int = 25,
+) -> dict:
+    """Exercise-3/4 driver with the reference's plot artifacts
+    (``session4_sol.py:340-440``): input sequence, predicted-vs-real trajectory
+    overlay, and the per-step ``rel_error × 100`` curve — the reference's
+    de-facto validation artifact (``:382, :428``)."""
+    if exercise == 3:
+        u_plan, x_a, x_b, rel = open_loop_parking(N=N, ts=ts, sqp_iters=sqp_iters)
+        kind = "integration error"
+    elif exercise == 4:
+        u_plan, x_a, x_b, rel = mismatch_open_loop(N=N, ts=ts, sqp_iters=sqp_iters)
+        kind = "parameter error"
+    else:
+        raise ValueError("exercise must be 3 or 4")
+    params = VehicleParameters()
+    summary = {
+        "exercise": exercise,
+        "N": N,
+        "ts": ts,
+        "x0": list(SOL_X0),
+        "rel_err_max_pct": float(np.max(rel) * 100.0),
+        "final_dist_predicted": float(np.linalg.norm(np.asarray(x_a)[-1, :2])),
+        "final_dist_real": float(np.linalg.norm(np.asarray(x_b)[-1, :2])),
+    }
+    if outdir is not None:
+        import os
+
+        from ..viz import (
+            plot_input_sequence,
+            plot_relative_error,
+            plot_state_trajectory,
+        )
+
+        os.makedirs(outdir, exist_ok=True)
+        tag = f"session4_ex{exercise}"
+        plot_input_sequence(
+            np.asarray(u_plan), params, ts=ts,
+            save=os.path.join(outdir, f"{tag}_inputs.png"),
+        )
+        fig = plot_state_trajectory(x_a, params, color="#0072B2", label="Predicted")
+        plot_state_trajectory(
+            x_b, params, ax=fig.axes[0], color="#D55E00", label="Real",
+            save=os.path.join(outdir, f"{tag}_traj.png"),
+        )
+        plot_relative_error(
+            rel, title=f"Relative prediction error ({kind}) [%]",
+            save=os.path.join(outdir, f"{tag}_rel_error.png"),
+        )
+    return summary
 
 
 def run(
@@ -263,10 +357,24 @@ def run(
     sqp_iters: int = 15,
     solver: str = "sqp",
 ) -> dict:
-    """Driver: closed-loop parking + accuracy sweep summary + plots/animation."""
-    res, mpc, params = closed_loop_parking(
-        variant=variant, steps=steps, sqp_iters=sqp_iters, solver=solver
-    )
+    """Driver: closed-loop parking + plots/animation.
+
+    ``variant="main"`` reproduces ``main.py:241-297`` (obstacle scenario, exact
+    plant). ``variant="sol"`` reproduces exercise 5 faithfully
+    (``session4_sol.py:443-481``): the closed loop runs under BOTH the assumed
+    Euler plant and the mismatched (friction × 0.8) exact plant, and the
+    two-trajectory overlay + rel-error comparison are emitted as artifacts.
+    """
+    if variant == "sol":
+        res_model, res, rel, params = two_plant_closed_loop(
+            steps=SOL_STEPS if steps is None else steps,
+            sqp_iters=sqp_iters, solver=solver,
+        )
+    else:
+        res, mpc, params = closed_loop_parking(
+            variant=variant, steps=steps, sqp_iters=sqp_iters, solver=solver
+        )
+        res_model, rel = None, None
     states = np.asarray(res.states)
     inputs = np.asarray(res.inputs)
     summary = {
@@ -288,12 +396,18 @@ def run(
             else None
         ),
     }
+    if rel is not None:
+        summary["rel_err_max_pct"] = float(np.max(rel) * 100.0)
+        summary["final_dist_to_spot_model_plant"] = float(
+            np.linalg.norm(np.asarray(res_model.states)[-1, :2])
+        )
 
     if outdir is not None:
         import os
 
         from ..viz import (
             plot_input_sequence,
+            plot_relative_error,
             plot_state_trajectory,
             plot_states_separately,
         )
@@ -310,6 +424,20 @@ def run(
         plot_states_separately(
             states, ts=ts, save=os.path.join(outdir, f"{tag}_states.png")
         )
+        if res_model is not None:
+            fig = plot_state_trajectory(
+                np.asarray(res_model.states), params,
+                color="#0072B2", label="Predicted (model plant)",
+            )
+            plot_state_trajectory(
+                states, params, ax=fig.axes[0], color="#D55E00",
+                label="Real (mismatched plant)",
+                save=os.path.join(outdir, f"{tag}_two_plant_traj.png"),
+            )
+            plot_relative_error(
+                rel, title="Relative prediction error (parameter error) [%]",
+                save=os.path.join(outdir, f"{tag}_rel_error.png"),
+            )
         if animate:
             from ..viz import animate_parking
 

@@ -5,7 +5,7 @@ with a TPU-native design: the OCP is a pair of *traced functions* of the stacked
 input vector — a least-squares residual (cost = ‖r(ū)‖²) and a constraint stack
 c(ū) with two-sided bounds. Derivatives come from ``jax.jacfwd`` through the rollout
 ``lax.scan`` (no symbolic layer); the SQP subproblem is a dense QP solved by the
-in-house Mehrotra PDIP (:func:`..solvers.qp.pdip_solve_dense`); the line search is a
+in-house Mehrotra PDIP (:func:`..solvers.qp.pdip_solve`); the line search is a
 fixed backtracking grid evaluated branch-free with ``vmap`` over an ℓ1 merit.
 
 Everything is fixed-shape and fixed-iteration: the whole solver jits, vmaps over

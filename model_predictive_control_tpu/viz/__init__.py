@@ -9,6 +9,7 @@ from .plots import (
     plot_phase_trajectory,
     plot_cost_to_go_comparison,
     plot_integration_error,
+    plot_relative_error,
     plot_cover_circles,
 )
 from .animation import ParkingAnimator, animate_parking
@@ -20,6 +21,7 @@ __all__ = [
     "plot_phase_trajectory",
     "plot_cost_to_go_comparison",
     "plot_integration_error",
+    "plot_relative_error",
     "plot_cover_circles",
     "ParkingAnimator",
     "animate_parking",

@@ -100,32 +100,44 @@ def plot_state_trajectory(
     every: int = 2,
     save=None,
     ax=None,
+    color=None,
+    label: str = "position",
 ):
     """Position trace + car footprint rectangles with an alpha ramp + parking-spot
-    rectangle (``plotting.py:46-77``: every 2nd step, alpha ``0.1 + i/len``)."""
+    rectangle (``plotting.py:46-77``: every 2nd step, alpha ``0.1 + i/len``).
+
+    Pass an existing ``ax`` plus ``color``/``label`` to overlay a second
+    trajectory, as the reference drivers do for predicted-vs-real comparisons
+    (``session4_sol.py:372-378, 419-424, 469-474``); the parking-spot patch is
+    drawn only on a fresh axis."""
     states = np.asarray(states)
-    if ax is None:
+    fresh_ax = ax is None
+    if fresh_ax:
         fig, ax = plt.subplots(figsize=(6, 5))
     else:
         fig = ax.figure
 
-    sx, sy = parking_spot
-    ax.add_patch(
-        patches.Rectangle(
-            (sx - params.length * 0.75, sy - params.width * 0.75),
-            params.length * 1.5,
-            params.width * 1.5,
-            fill=True,
-            facecolor="0.92",
-            edgecolor="0.55",
-            label="parking spot",
+    if fresh_ax:
+        sx, sy = parking_spot
+        ax.add_patch(
+            patches.Rectangle(
+                (sx - params.length * 0.75, sy - params.width * 0.75),
+                params.length * 1.5,
+                params.width * 1.5,
+                fill=True,
+                facecolor="0.92",
+                edgecolor="0.55",
+                label="parking spot",
+            )
         )
-    )
+    trace_color = TRACE_COLOR if color is None else color
     T = states.shape[0]
     for i in range(0, T, every):
         alpha = min(1.0, 0.1 + i / max(T, 1))
-        _car_footprint(ax, states[i], params, SERIES_COLORS[2], alpha)
-    ax.plot(states[:, 0], states[:, 1], color=TRACE_COLOR, label="position")
+        _car_footprint(
+            ax, states[i], params, SERIES_COLORS[2] if color is None else color, alpha
+        )
+    ax.plot(states[:, 0], states[:, 1], color=trace_color, label=label)
     ax.set_xlabel("x [m]")
     ax.set_ylabel("y [m]")
     ax.set_aspect("equal")
@@ -255,4 +267,19 @@ def plot_integration_error(ts_values, errors_by_method, save=None):
     ax.set_ylabel("‖x − x_exact‖∞")
     ax.grid(**GRID_KW)
     ax.legend(loc="best", frameon=False)
+    return _finish(fig, save)
+
+
+def plot_relative_error(rel_err, title=None, save=None):
+    """Per-step relative prediction error in percent — the reference's de-facto
+    validation artifact, ``plt.plot(rel_error(...) * 100)`` with x-label "Time
+    step" (``session4_sol.py:382-386, 428-432, 477-481``)."""
+    rel_err = np.asarray(rel_err)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(rel_err * 100.0, color=SERIES_COLORS[0])
+    ax.set_xlabel("Time step")
+    ax.set_ylabel(r"$\|x - x_{pred}\| / (\|x\| + \|x_{pred}\|) \times 100$")
+    if title:
+        ax.set_title(title)
+    ax.grid(**GRID_KW)
     return _finish(fig, save)

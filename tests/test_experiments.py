@@ -111,3 +111,45 @@ def test_cli_podscale_xla_backend(capsys):
     )
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["solves_per_s"] > 0 and out["batch"] == 32
+
+
+def test_sol_scenario_constants_match_reference():
+    """Pins exercise-3/4/5's start state to session4_sol.py:344,393,447."""
+    import inspect
+
+    from model_predictive_control_tpu.experiments import session4
+
+    assert session4.SOL_X0 == (0.6, -0.25, 0.0, 0.0)
+    assert session4.SOL_N == 50 and session4.SOL_TS == 0.05
+    assert session4.MAIN_X0 == (0.3, -0.1, 0.0, 0.0)
+    for fn in (open_loop_parking, mismatch_open_loop):
+        assert inspect.signature(fn).parameters["x0"].default == session4.SOL_X0
+
+
+@pytest.mark.slow
+def test_closed_loop_sol_variant_starts_from_reference_x0():
+    from model_predictive_control_tpu.experiments import session4
+
+    res, _, _ = session4.closed_loop_parking(
+        variant="sol", steps=1, sqp_iters=2, qp_iters=10
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.states[0]), np.asarray(session4.SOL_X0), atol=0
+    )
+
+
+@pytest.mark.slow
+def test_two_plant_closed_loop_exercise5():
+    """Exercise-5 semantics (session4_sol.py:443-481): same controller, two
+    plants; the mismatched run deviates from the model run but still parks."""
+    from model_predictive_control_tpu.experiments import session4
+
+    res_model, res_exact, rel, _ = session4.two_plant_closed_loop(
+        steps=40, sqp_iters=10
+    )
+    assert np.asarray(res_model.states).shape == np.asarray(res_exact.states).shape
+    assert np.all(np.isfinite(rel)) and rel.shape == (41,)
+    assert rel[1:].max() > 1e-4  # the mismatch is visible
+    # both runs drive toward the spot from [0.6, -0.25]
+    assert np.linalg.norm(np.asarray(res_model.states)[-1, :2]) < 0.15
+    assert np.linalg.norm(np.asarray(res_exact.states)[-1, :2]) < 0.25
