@@ -61,6 +61,12 @@ from .solvers.qp import (
     admm_solve,
     pdip_solve,
 )
+from .solvers.implicit import (
+    admm_solve_implicit,
+    pdip_solve_implicit,
+    make_implicit_qp_solver,
+    stagewise_ip_solve_implicit,
+)
 from .solvers.sqp import ShootingOCP, SQPSolution, sqp_solve
 from .solvers.ilqr import (
     ALILQRSolution,

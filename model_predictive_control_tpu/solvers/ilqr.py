@@ -232,6 +232,7 @@ class ALILQRSolution:
     cost: jnp.ndarray  # () true (unpenalized) cost
     viol: jnp.ndarray  # () max constraint violation
     converged: jnp.ndarray  # () bool
+    lams: jnp.ndarray  # (N, nc) converged AL multipliers (≥ 0, for c ≤ 0)
 
 
 def al_ilqr_solve(
@@ -307,7 +308,7 @@ def al_ilqr_solve(
         return jnp.logical_and(oi < outer_iters, jnp.logical_not(solved))
 
     lams0 = jnp.zeros((N, n_constraints), dtype=dtype)
-    _, us, _, _, viol, _ = jax.lax.while_loop(
+    _, us, lams, _, viol, _ = jax.lax.while_loop(
         not_done,
         outer,
         (
@@ -318,5 +319,6 @@ def al_ilqr_solve(
     xs = _rollout(prob, x0, us)
     cost = _total_cost(prob, xs, us)
     return ALILQRSolution(
-        us=us, xs=xs, cost=cost, viol=viol, converged=viol < viol_tol
+        us=us, xs=xs, cost=cost, viol=viol, converged=viol < viol_tol,
+        lams=lams,
     )

@@ -1,0 +1,374 @@
+"""Implicit differentiation through the QP solvers (OptNet-style KKT VJP).
+
+The reference's workload class never differentiates through its optimizer
+(CasADi/IPOPT are called as black boxes, ``session_4/main.py:39,116``); this
+module makes the engine strictly exceed that class: ``jax.grad`` flows through
+a QP solve — enabling learned cost tuning, differentiable MPC policies, and
+sensitivity analysis — without differentiating the solver's iterations.
+
+Method (OptNet, Amos & Kolter 2017; Theseus/JaxOpt use the same structure):
+at the solution of
+
+    min ½ xᵀPx + qᵀx   s.t.   l ≤ A x ≤ u
+
+with duals ``y`` (negative on lower-active rows, positive on upper-active),
+freeze the active set ``d`` and write the KKT conditions as a smooth system
+
+    F1 = P x + q + Aᵀ y                      = 0        (n rows)
+    F2 = d ∘ (A x − b) + (1 − d) ∘ y         = 0        (m rows)
+
+with ``b`` the active bound (l or u per row). The implicit function theorem
+gives the VJP as ONE linear solve with the (symmetric) KKT Jacobian
+
+    K = [[P, Aᵀ·diag(d)], [diag(d)·A, diag(1−d) − δ·diag(d)]]
+
+(the same matrix the solvers' active-set polish factors; δ is a tiny
+regularizer for degenerate active sets). Solving ``K v = g`` for the incoming
+cotangent ``g`` yields exact first-order sensitivities:
+
+    q̄ = −v_x
+    l̄ = lower ∘ v_y,   ū = upper ∘ v_y
+    P̄ = −v_x xᵀ        (symmetrized by the caller's chain rule if needed)
+    Ā = −(y v_xᵀ + (d ∘ v_y) xᵀ)
+
+Everything is fixed-shape and batches under ``vmap``; the forward pass is the
+unmodified production solver (ADMM ρ-ladders, while_loops and all — none of it
+is differentiated). Gradients are exact at an exact KKT point; at the solvers'
+1e-6-ish polished residuals the error is of the same order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.precision import solver_precision
+from ..utils.pytree import replace as pytree_replace
+from .qp import QPOperator, QPSolution, admm_solve, pdip_solve
+
+_BIG = 1e19
+
+
+def _active_sets(y, l, u, scale_tol: float = 1e-8):
+    """Active bounds read off the dual signs (the polish convention,
+    ``qp.py::_polish``): lower-active ⇔ y < −tol (and l finite)."""
+    tol = scale_tol * jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+    lower = (y < -tol) & (l > -_BIG)
+    upper = (y > tol) & (u < _BIG)
+    return lower, upper
+
+
+@solver_precision
+def kkt_vjp(P, A, x, y, lower, upper, gx, gy, gz, delta: float = 1e-9):
+    """One KKT solve mapping output cotangents (gx, gy, gz) to input
+    cotangents (q̄, l̄, ū, P̄, Ā). Shapes: x (n,), y/z (m,)."""
+    dtype = P.dtype
+    n = P.shape[0]
+    d = (lower | upper).astype(dtype)
+
+    # z = clip(Ax, l, u): inactive rows pass A dx through; active rows follow
+    # the moving bound. Fold the z cotangent into the x/bound channels.
+    gx_eff = gx + A.T @ ((1.0 - d) * gz)
+    l_bar_z = jnp.where(lower, gz, 0.0)
+    u_bar_z = jnp.where(upper, gz, 0.0)
+
+    K = jnp.concatenate(
+        [
+            jnp.concatenate([P, A.T * d[None, :]], axis=1),
+            jnp.concatenate(
+                [d[:, None] * A, jnp.diag(1.0 - d) - delta * jnp.diag(d)],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    )
+    g = jnp.concatenate([gx_eff, gy])
+    v = jnp.linalg.solve(K, g)
+    # one step of iterative refinement (mirrors the polish: K is built from the
+    # same data and can be stiff when P spans many orders of magnitude)
+    v = v + jnp.linalg.solve(K, g - K @ v)
+    vx = v[:n]
+    vy = v[n:]
+
+    q_bar = -vx
+    l_bar = l_bar_z + jnp.where(lower, vy, 0.0)
+    u_bar = u_bar_z + jnp.where(upper, vy, 0.0)
+    P_bar = -jnp.outer(vx, x)
+    A_bar = -(jnp.outer(y, vx) + jnp.outer(d * vy, x))
+    # guard: a degenerate/rank-deficient K can emit NaNs — return zeros rather
+    # than poisoning the whole gradient (matches the solvers' branch-free
+    # failure-mask philosophy).
+    finite = jnp.all(jnp.isfinite(v))
+    z = jnp.zeros
+    return jax.tree.map(
+        lambda a: jnp.where(finite, a, jnp.zeros_like(a)),
+        (q_bar, l_bar, u_bar, P_bar, A_bar),
+    )
+
+
+def make_implicit_qp_solver(
+    solver: str = "admm", **solver_kwargs
+) -> Callable[..., QPSolution]:
+    """Build ``solve(op, q, l, u, warm=None) -> QPSolution`` that is
+    differentiable via the KKT implicit function theorem.
+
+    The forward pass is the production solver (:func:`..solvers.qp.admm_solve`
+    or :func:`..solvers.qp.pdip_solve`) verbatim. The backward pass never sees
+    the solver's internals: cotangents on ``sol.x`` / ``sol.y`` / ``sol.z``
+    propagate to (q, l, u) and to ``op.P`` / ``op.A_c`` through one KKT solve.
+    Cotangents on the residual/convergence diagnostics are dropped (they are
+    piecewise-constant reports, not smooth outputs), and ``warm`` gets a zero
+    cotangent — at an exact KKT point the solution does not depend on the warm
+    start, which also breaks the spurious step-to-step dependence when
+    differentiating a warm-started closed loop.
+    """
+    if solver == "admm":
+        base = functools.partial(admm_solve, **solver_kwargs)
+
+        def fwd_solve(op, q, l, u, warm):
+            return base(op, q, l, u, warm=warm)
+
+    elif solver == "pdip":
+        base = functools.partial(pdip_solve, **solver_kwargs)
+
+        def fwd_solve(op, q, l, u, warm):
+            return base(op, q, l, u)
+
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+
+    @jax.custom_vjp
+    def solve(op, q, l, u, warm=None):
+        return fwd_solve(op, q, l, u, warm)
+
+    def solve_fwd(op, q, l, u, warm=None):
+        sol = fwd_solve(op, q, l, u, warm)
+        return sol, (op, q, l, u, warm, sol)
+
+    def solve_bwd(res, ct: QPSolution):
+        op, q, l, u, warm, sol = res
+        lower, upper = _active_sets(sol.y, l, u)
+        q_bar, l_bar, u_bar, P_bar, A_bar = kkt_vjp(
+            op.P, op.A_c, sol.x, sol.y, lower, upper, ct.x, ct.y, ct.z
+        )
+        op_bar = jax.tree.map(jnp.zeros_like, op)
+        op_bar = pytree_replace(op_bar, P=P_bar, A_c=A_bar)
+        warm_bar = jax.tree.map(jnp.zeros_like, warm) if warm is not None else None
+        return (op_bar, q_bar, l_bar, u_bar, warm_bar)
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+admm_solve_implicit = make_implicit_qp_solver("admm")
+pdip_solve_implicit = make_implicit_qp_solver("pdip")
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_implicit_solver(solver: str, kw_items: tuple):
+    return make_implicit_qp_solver(solver, **dict(kw_items))
+
+
+# ---------------------------------------------------------------------------
+# Stagewise (Riccati-IP) implicit differentiation
+# ---------------------------------------------------------------------------
+#
+# Same implicit-function-theorem move as the dense QP above, but on the
+# STAGEWISE KKT system of the box-constrained LQ-OCP that
+# :func:`..solvers.riccati_ip.stagewise_ip_solve` solves. Rather than
+# hand-deriving every parameter cotangent, the KKT residual is written once as
+# a plain function F(w, params) and JAX supplies both pieces:
+#   K = jacfwd_w F        (the KKT Jacobian — one dense solve per backward)
+#   params̄ = −(∂F/∂params)ᵀ v   via jax.vjp, with  Kᵀ v = g.
+#
+# Convention check (verified numerically against the solver's multipliers):
+# with Lagrangian  L = Σ ℓ_k + Σ λ_{k+1}ᵀ(A_k x_k + B_k u_k − x_{k+1})
+# and net bound multipliers μ (= res.lam_u / res.lam_x, positive at upper):
+#   stat_u_k:  R_k u_k + r_k + B_kᵀ λ_{k+1} + μ_u,k            = 0
+#   stat_x_j:  Q_j x_j + q_j + A_jᵀ λ_{j+1} − λ_j + μ_x,j      = 0   (A_N ≡ 0)
+#   dyn_k:     A_k x_k + B_k u_k − x_{k+1}                     = 0
+# The costates λ_1..λ_N are not returned by the solver; they are reconstructed
+# exactly from stat_x in the backward pass.
+
+
+def _stagewise_kkt_resid(w, params, masks, N, nx, nu):
+    """Flat stagewise KKT residual with a frozen active set.
+
+    ``w`` = [us (N·nu) | x₁..x_N (N·nx) | λ₁..λ_N (N·nx) | μ_u | μ_x].
+    """
+    As, Bs, Qs, Rs, Pf, x_lb, x_ub, u_lb, u_ub, x0, q_lin, r_lin = params
+    u_low, u_up, x_low, x_up = masks
+    sizes = (N * nu, N * nx, N * nx, N * nu, N * nx)
+    us, xs1, lam, mu_u, mu_x = (
+        seg.reshape(N, -1)
+        for seg in jnp.split(w, tuple(jnp.cumsum(jnp.array(sizes))[:-1]))
+    )
+
+    x_prev = jnp.concatenate([x0[None], xs1[:-1]], axis=0)
+    dyn = (
+        jnp.einsum("kij,kj->ki", As, x_prev)
+        + jnp.einsum("kij,kj->ki", Bs, us)
+        - xs1
+    )
+    stat_u = (
+        jnp.einsum("kij,kj->ki", Rs, us)
+        + r_lin
+        + jnp.einsum("kji,kj->ki", Bs, lam)
+        + mu_u
+    )
+    # x_j cost: Qs[j] for j = 1..N−1, Pf for j = N (the solver's convention)
+    Qeff = jnp.concatenate([Qs[1:], Pf[None]], axis=0)
+    Anext = jnp.concatenate([As[1:], jnp.zeros((1, nx, nx), As.dtype)], axis=0)
+    lam_next = jnp.concatenate([lam[1:], jnp.zeros((1, nx), lam.dtype)], axis=0)
+    stat_x = (
+        jnp.einsum("kij,kj->ki", Qeff, xs1)
+        + q_lin[1:]
+        + jnp.einsum("kji,kj->ki", Anext, lam_next)
+        - lam
+        + mu_x
+    )
+    bnd_u = jnp.where(u_low, us - u_lb, jnp.where(u_up, us - u_ub, mu_u))
+    bnd_x = jnp.where(x_low, xs1 - x_lb, jnp.where(x_up, xs1 - x_ub, mu_x))
+    return jnp.concatenate(
+        [stat_u.ravel(), stat_x.ravel(), dyn.ravel(), bnd_u.ravel(), bnd_x.ravel()]
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_implicit_stagewise_solver(
+    N: int, iters: int = 20, tol: float = 1e-8, parallel: bool = False
+):
+    """Implicit-diff wrapper around :func:`..solvers.riccati_ip.
+    stagewise_ip_solve` for a fixed horizon ``N``.
+
+    Returns ``solve(As, Bs, Qs, Rs, Pf, x_lb, x_ub, u_lb, u_ub, x0, q_lin,
+    r_lin) -> StagewiseIPResult`` over CANONICAL stacked shapes
+    ((N, nx, nx) dynamics/costs, (N, nx)/(N, nu) bounds, (N+1, nx)/(N, nu)
+    linear terms). Use :func:`stagewise_ip_solve_implicit` for the
+    broadcast-friendly public signature. ``jax.grad`` flows to every parameter
+    (dynamics, costs, bounds, x0, linear terms) through one stagewise-KKT
+    solve; the IP iterations themselves are never differentiated.
+    """
+    from .riccati_ip import stagewise_ip_solve
+
+    @jax.custom_vjp
+    def solve(As, Bs, Qs, Rs, Pf, x_lb, x_ub, u_lb, u_ub, x0, q_lin, r_lin):
+        return stagewise_ip_solve(
+            As, Bs, Qs, Rs, Pf, x_lb, x_ub, u_lb, u_ub, x0,
+            q_lin=q_lin, r_lin=r_lin, N=N, iters=iters, tol=tol,
+            parallel=parallel,
+        )
+
+    def solve_fwd(*params):
+        res = solve(*params)
+        return res, (params, res)
+
+    @solver_precision
+    def solve_bwd(saved, ct):
+        params, res = saved
+        As, Bs, Qs, Rs, Pf, x_lb, x_ub, u_lb, u_ub, x0, q_lin, r_lin = params
+        nx = x0.shape[0]
+        nu = res.us.shape[1]
+        us, xs1 = res.us, res.xs[1:]
+        mu_u, mu_x = res.lam_u, res.lam_x
+
+        # active sets from the net multiplier signs (polish convention)
+        def act(mu, lb, ub):
+            t = 1e-8 * jnp.maximum(jnp.max(jnp.abs(mu)), 1.0)
+            return (mu < -t) & (lb > -_BIG), (mu > t) & (ub < _BIG)
+
+        u_low, u_up = act(mu_u, u_lb, u_ub)
+        x_low, x_up = act(mu_x, x_lb, x_ub)
+        masks = (u_low, u_up, x_low, x_up)
+
+        # reconstruct costates λ_1..λ_N from stat_x (exact at the KKT point)
+        Qeff = jnp.concatenate([Qs[1:], Pf[None]], axis=0)
+        Anext = jnp.concatenate([As[1:], jnp.zeros((1, nx, nx), As.dtype)], 0)
+
+        def back(lam_next, inputs):
+            Qj, Aj, xj, qj, mxj = inputs
+            lam_j = Qj @ xj + qj + Aj.T @ lam_next + mxj
+            return lam_j, lam_j
+
+        _, lam_rev = jax.lax.scan(
+            back,
+            jnp.zeros(nx, As.dtype),
+            (Qeff[::-1], Anext[::-1], xs1[::-1], q_lin[1:][::-1], mu_x[::-1]),
+        )
+        lam = lam_rev[::-1]
+
+        w = jnp.concatenate(
+            [us.ravel(), xs1.ravel(), lam.ravel(), mu_u.ravel(), mu_x.ravel()]
+        )
+        resid_w = lambda ww: _stagewise_kkt_resid(ww, params, masks, N, nx, nu)
+        K = jax.jacfwd(resid_w)(w)
+
+        # cotangent in w-space: us / x_1..x_N / μ slots; λ has no output slot
+        g = jnp.concatenate(
+            [
+                ct.us.ravel(),
+                ct.xs[1:].ravel(),
+                jnp.zeros(N * nx, w.dtype),
+                ct.lam_u.ravel(),
+                ct.lam_x.ravel(),
+            ]
+        )
+        v = jnp.linalg.solve(K.T, g)
+        v = v + jnp.linalg.solve(K.T, g - K.T @ v)
+
+        _, pullback = jax.vjp(
+            lambda p: _stagewise_kkt_resid(w, p, masks, N, nx, nu), params
+        )
+        (pbar,) = pullback(v)
+        pbar = jax.tree.map(lambda a: -a, pbar)
+        # xs[0] ≡ x0 is returned verbatim: route its cotangent directly
+        pbar = list(pbar)
+        pbar[9] = pbar[9] + ct.xs[0]
+        finite = jnp.all(jnp.isfinite(v))
+        pbar = jax.tree.map(
+            lambda a: jnp.where(finite, a, jnp.zeros_like(a)), tuple(pbar)
+        )
+        return pbar
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+def stagewise_ip_solve_implicit(
+    A, B, Q, R, Pf, x_lb, x_ub, u_lb, u_ub, x0,
+    q_lin=None, r_lin=None, *,
+    N: int, iters: int = 20, tol: float = 1e-8, parallel: bool = False,
+):
+    """Differentiable :func:`..solvers.riccati_ip.stagewise_ip_solve`.
+
+    Same broadcasting semantics as the solver (LTI or stacked LTV inputs,
+    entry-wise bound broadcasting); gradients reduce back to the caller's
+    shapes through the ``broadcast_to`` transpose.
+    """
+    x0 = jnp.asarray(x0)
+    dt = x0.dtype
+    nx = x0.shape[-1]
+    nu = jnp.shape(B)[-1]
+    As = jnp.broadcast_to(A, (N, nx, nx)).astype(dt)
+    Bs = jnp.broadcast_to(B, (N, nx, nu)).astype(dt)
+    Qs = jnp.broadcast_to(Q, (N, nx, nx)).astype(dt)
+    Rs = jnp.broadcast_to(R, (N, nu, nu)).astype(dt)
+    Pf = jnp.asarray(Pf, dt)
+    x_lb = jnp.broadcast_to(jnp.asarray(x_lb, dt), (N, nx))
+    x_ub = jnp.broadcast_to(jnp.asarray(x_ub, dt), (N, nx))
+    u_lb = jnp.broadcast_to(jnp.asarray(u_lb, dt), (N, nu))
+    u_ub = jnp.broadcast_to(jnp.asarray(u_ub, dt), (N, nu))
+    q_lin = jnp.zeros((N + 1, nx), dt) if q_lin is None else jnp.asarray(q_lin, dt)
+    r_lin = jnp.zeros((N, nu), dt) if r_lin is None else jnp.asarray(r_lin, dt)
+    solve = make_implicit_stagewise_solver(N, iters=iters, tol=tol, parallel=parallel)
+    return solve(As, Bs, Qs, Rs, Pf, x_lb, x_ub, u_lb, u_ub, x0, q_lin, r_lin)
+
+
+def implicit_qp_solver(solver: str = "admm", **solver_kwargs):
+    """Cached variant of :func:`make_implicit_qp_solver` (kwargs must be
+    hashable) — avoids re-creating the custom_vjp wrapper per call site, which
+    would defeat jit caching."""
+    return _cached_implicit_solver(solver, tuple(sorted(solver_kwargs.items())))

@@ -144,6 +144,7 @@ class LinearMPC:
         x0: jnp.ndarray,
         warm: tuple | None = None,
         q_extra: jnp.ndarray | None = None,
+        implicit: bool = False,
     ):
         """Solve the MPC QP at measured state ``x0``.
 
@@ -151,13 +152,24 @@ class LinearMPC:
         block) — the preview-tracking hook (``CondensedQP.ref_linear_term``);
         on the slack-softened QP it leaves the slack entries untouched.
 
+        ``implicit=True`` routes through the KKT-implicit-differentiable
+        wrapper (:mod:`.implicit`): same forward solve, but ``jax.grad`` flows
+        through the solution via one KKT solve instead of failing on the
+        solver's ``while_loop`` internals.
+
         Returns ``(u_traj (N, nu), sol)`` where ``sol`` carries duals/residuals/
         convergence (the ``solver_success`` analog).
         """
         q, l, u = self.qp.qp_vectors(x0)
         if q_extra is not None:
             q = q.at[: q_extra.shape[0]].add(q_extra)
-        if self.solver == "admm":
+        if implicit:
+            from .implicit import implicit_qp_solver
+
+            sol = implicit_qp_solver(self.solver, iters=self.iters)(
+                self.op, q, l, u, warm
+            )
+        elif self.solver == "admm":
             sol = admm_solve(self.op, q, l, u, iters=self.iters, warm=warm)
         elif self.solver == "pdip":
             sol = pdip_solve(self.op, q, l, u, iters=self.iters)
@@ -166,12 +178,16 @@ class LinearMPC:
         u_traj = sol.x[: self.qp.N * self.qp.nu].reshape(self.qp.N, self.qp.nu)
         return u_traj, sol
 
-    def policy(self) -> Policy:
+    def policy(self, differentiable: bool = False) -> Policy:
         """Receding-horizon policy for :func:`~...control.simulate.simulate`.
 
         Carry = warm start ``(x, y)`` shifted one stage per step. Aux pytree matches
         ``ControllerLog``: ``solver_success``, ``state_prediction`` (N, nx),
         ``input_prediction`` (N, nu).
+
+        ``differentiable=True`` makes the per-step solve implicit-diff-capable,
+        so ``jax.grad`` flows through a whole closed-loop ``simulate`` (e.g.
+        d(trajectory cost)/d(x0) for tuning workloads).
         """
         nu, nx, N = self.qp.nu, self.qp.nx, self.qp.N
 
@@ -179,7 +195,7 @@ class LinearMPC:
             # carry is (x_warm, y_warm); an empty tuple (simulate's default
             # policy_carry) means cold start.
             warm = carry if (isinstance(carry, tuple) and len(carry) == 2) else None
-            u_traj, sol = self.solve(x, warm=warm)
+            u_traj, sol = self.solve(x, warm=warm, implicit=differentiable)
             x_pred = self.qp.predict_states(x, sol.x)
             # shift warm start by one stage (repeat last input block / dual blocks)
             x_warm, y_warm = self._shift_warm(sol.x, sol.y)
@@ -239,13 +255,20 @@ class LinearMPC:
 
         return policy_fn
 
-    def batched_policy(self, backend: str = "pallas", tile: int = 256):
+    def batched_policy(
+        self, backend: str = "pallas", tile: int = 256, chunks: int = 2,
+        max_rho_moves: int | None = None, schedule: str = "uniform",
+    ):
         """Batch-level receding-horizon policy for
         :func:`~..control.batch_loop.simulate_batch`.
 
         ``backend="pallas"`` routes the solve through the fused VMEM-resident ADMM
         kernel (the throughput path); ``backend="xla"`` uses ``vmap`` over the
         scalar solver (reference path, supports per-scenario ρ adaptation).
+        ``chunks`` sets the kernel's convergence-check/ρ-adaptation granularity:
+        with per-tile early exit, a deeper ``self.iters`` cap plus more chunks
+        recovers slow-converging scenarios while converged tiles still exit at
+        the first check they pass.
         """
         import jax
 
@@ -258,7 +281,9 @@ class LinearMPC:
                 from ..ops.pallas.admm_kernel import admm_solve_pallas
 
                 sol = admm_solve_pallas(
-                    self.op, q, l, u, warm_x, warm_y, iters=self.iters, tile=tile
+                    self.op, q, l, u, warm_x, warm_y, iters=self.iters,
+                    chunks=chunks, max_rho_moves=max_rho_moves,
+                    schedule=schedule, tile=tile,
                 )
             elif backend == "xla":
                 sol = jax.vmap(
