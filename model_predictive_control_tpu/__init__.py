@@ -65,6 +65,7 @@ from .solvers.implicit import (
     admm_solve_implicit,
     pdip_solve_implicit,
     make_implicit_qp_solver,
+    make_implicit_al_ilqr_solver,
     stagewise_ip_solve_implicit,
 )
 from .solvers.sqp import ShootingOCP, SQPSolution, sqp_solve

@@ -337,6 +337,118 @@ def make_implicit_stagewise_solver(
     return solve
 
 
+# ---------------------------------------------------------------------------
+# AL-iLQR (nonlinear single-shooting) implicit differentiation
+# ---------------------------------------------------------------------------
+
+
+def make_implicit_al_ilqr_solver(
+    prob, constraints, n_constraints: int, **solver_kwargs
+):
+    """Implicit-diff wrapper around :func:`..solvers.ilqr.al_ilqr_solve`.
+
+    Returns ``solve(x0, u_init=None) -> ALILQRSolution`` where ``jax.grad``
+    flows through ``sol.us`` / ``sol.xs`` / ``sol.cost`` with respect to
+    ``x0``. The NLP's KKT system is written in single-shooting form — decision
+    variable ū = vec(us), states eliminated through the rollout — with the
+    converged AL multipliers λ (``sol.lams``) as the inequality duals:
+
+        stat:  ∇_ū [ J(ū; x0) + Σ_k λ_kᵀ c_k(x_k(ū), u_k) ] = 0
+        comp:  active (k,i): c_{k,i} = 0;   inactive: λ_{k,i} = 0
+
+    The backward pass solves one dense KKT system whose Jacobian (the exact
+    Lagrangian Hessian, second derivatives THROUGH the rollout scan) comes
+    from ``jacfwd`` of the residual. Gradient accuracy is bounded by the AL
+    convergence tolerance (``viol_tol``), not by the wrapper.
+
+    Cost/vehicle parameters live inside the ``prob``/``constraints`` closures
+    and are not differentiated — rebuild the problem per parameter value (the
+    closures trace fresh under jit) or use the stagewise/QP implicit solvers
+    for weight-tuning workloads.
+    """
+    from .ilqr import ALILQRSolution, _rollout, _total_cost, al_ilqr_solve
+
+    N, nu = prob.N, prob.nu
+    ts = jnp.arange(N)
+
+    def lagrangian(U, lam, x0):
+        us = U.reshape(N, nu)
+        xs = _rollout(prob, x0, us)
+        cs = jax.vmap(constraints)(xs[:-1], us, ts)
+        return _total_cost(prob, xs, us) + jnp.sum(lam * cs)
+
+    def kkt_resid(w, x0, active):
+        U = w[: N * nu]
+        lam = w[N * nu :].reshape(N, n_constraints)
+        stat = jax.grad(lagrangian, argnums=0)(U, lam, x0)
+        us = U.reshape(N, nu)
+        xs = _rollout(prob, x0, us)
+        cs = jax.vmap(constraints)(xs[:-1], us, ts)
+        comp = jnp.where(active, cs, lam)
+        return jnp.concatenate([stat, comp.ravel()])
+
+    @jax.custom_vjp
+    def _solve(x0, u_init):
+        return al_ilqr_solve(
+            prob, constraints, n_constraints, x0, u_init=u_init, **solver_kwargs
+        )
+
+    def solve_fwd(x0, u_init):
+        sol = al_ilqr_solve(
+            prob, constraints, n_constraints, x0, u_init=u_init, **solver_kwargs
+        )
+        return sol, (x0, u_init, sol)
+
+    # The body is jitted: its jacfwd-of-grad through the rollout scan is only
+    # robust as a traced/compiled computation — run eagerly inside an outer
+    # backward pass it trips low-level transpose machinery (observed hard
+    # abort in eager `_slice_transpose_fancy` on CPU).
+    @jax.jit
+    @solver_precision
+    def solve_bwd(saved, ct: "ALILQRSolution"):
+        x0, u_init, sol = saved
+        U = sol.us.ravel()
+        lam = sol.lams
+        tol = 1e-6 * jnp.maximum(jnp.max(lam), 1.0)
+        active = lam > tol
+
+        w = jnp.concatenate([U, lam.ravel()])
+        K = jax.jacfwd(lambda ww: kkt_resid(ww, x0, active))(w)
+
+        # output cotangents → (gU, direct x0 part). xs and cost are smooth
+        # functions of (x0, ū): their ∂/∂ū joins the KKT solve, their ∂/∂x0
+        # bypasses it (chain rule for out(U*(x0), x0)).
+        def outs(x0_, U_):
+            us = U_.reshape(N, nu)
+            xs = _rollout(prob, x0_, us)
+            return xs, _total_cost(prob, xs, us)
+
+        _, pull = jax.vjp(outs, x0, U)
+        gx0_direct, gU_extra = pull((ct.xs, ct.cost))
+        gU = ct.us.ravel() + gU_extra
+        g = jnp.concatenate([gU, ct.lams.ravel()])
+
+        v = jnp.linalg.solve(K.T, g)
+        v = v + jnp.linalg.solve(K.T, g - K.T @ v)
+        _, pull_p = jax.vjp(lambda x0_: kkt_resid(w, x0_, active), x0)
+        (x0_bar,) = pull_p(v)
+        x0_bar = gx0_direct - x0_bar
+        finite = jnp.all(jnp.isfinite(v))
+        x0_bar = jnp.where(finite, x0_bar, jnp.zeros_like(x0_bar))
+        # u_init only selects the basin for the (non-differentiated) forward
+        # solve; at the KKT point the solution has zero sensitivity to it
+        return (x0_bar, jnp.zeros_like(u_init))
+
+    _solve.defvjp(solve_fwd, solve_bwd)
+
+    def solve(x0, u_init=None):
+        if u_init is None:
+            u_init = jnp.zeros((N, nu), dtype=jnp.asarray(x0).dtype)
+        return _solve(x0, u_init)
+
+    return solve
+
+
 def stagewise_ip_solve_implicit(
     A, B, Q, R, Pf, x_lb, x_ub, u_lb, u_ub, x0,
     q_lin=None, r_lin=None, *,

@@ -219,3 +219,58 @@ def test_stagewise_implicit_forward_matches_solver():
     r1 = mpc.stagewise_ip_solve_implicit(*args, N=8, iters=30)
     r2 = stagewise_ip_solve(*args, N=8, iters=30)
     np.testing.assert_allclose(np.asarray(r1.us), np.asarray(r2.us), atol=1e-12)
+
+
+@pytest.mark.slow
+def test_al_ilqr_implicit_grad_vs_fd():
+    """Nonlinear (parking) implicit diff: d(loss)/d(x0) through al_ilqr_solve
+    matches finite differences, with active input-box constraints."""
+    from model_predictive_control_tpu.models.parameters import VehicleParameters
+    from model_predictive_control_tpu.solvers.parking import make_parking_ilqr
+
+    params = VehicleParameters()
+    prob, cons, nc = make_parking_ilqr(
+        params, N=10, ts=0.1, x_obs=None, dtype=jnp.float64
+    )
+    solve = mpc.make_implicit_al_ilqr_solver(
+        prob, cons, nc, outer_iters=12, inner_iters=40, viol_tol=1e-9
+    )
+
+    x0 = jnp.asarray([0.55, -0.22, 0.0, 0.0], dtype=jnp.float64)
+    sol = solve(x0)
+    assert bool(sol.converged)
+    assert float(jnp.max(sol.lams)) > 1e-3  # some constraint is active
+
+    def loss(x0):
+        sol = solve(x0)
+        return jnp.sum(sol.us**2) + 10.0 * jnp.sum(sol.xs[-1][:2] ** 2)
+
+    g = np.asarray(jax.grad(loss)(x0))
+    # eps must sit below the AL solver's re-solve noise floor: at 1e-6 the FD
+    # quotient samples iteration-count discontinuities (verified: 1e-5 and
+    # 1e-7 agree with the implicit gradient, 1e-6 is the outlier)
+    g_fd = _fd_grad(loss, x0, eps=1e-7)
+    np.testing.assert_allclose(g, g_fd, rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_al_ilqr_implicit_cost_gradient():
+    """sol.cost cotangent path: d(optimal cost)/d(x0) = lagrangian gradient."""
+    from model_predictive_control_tpu.models.parameters import VehicleParameters
+    from model_predictive_control_tpu.solvers.parking import make_parking_ilqr
+
+    params = VehicleParameters()
+    prob, cons, nc = make_parking_ilqr(
+        params, N=8, ts=0.1, x_obs=None, dtype=jnp.float64
+    )
+    solve = mpc.make_implicit_al_ilqr_solver(
+        prob, cons, nc, outer_iters=12, inner_iters=40, viol_tol=1e-9
+    )
+    x0 = jnp.asarray([0.5, -0.2, 0.0, 0.0], dtype=jnp.float64)
+
+    def loss(x0):
+        return solve(x0).cost
+
+    g = np.asarray(jax.grad(loss)(x0))
+    g_fd = _fd_grad(loss, x0, eps=1e-6)
+    np.testing.assert_allclose(g, g_fd, rtol=2e-3, atol=1e-6)
