@@ -17,6 +17,7 @@ from .distributed import (
     process_batch_slice,
     scaling_efficiency,
 )
+from .tensor_parallel import admm_solve_tp
 from .batch import (
     batched_parking_policy,
     batched_plant,
@@ -33,6 +34,7 @@ __all__ = [
     "batch_sharding",
     "make_mesh",
     "replicated",
+    "admm_solve_tp",
     "global_mesh",
     "initialize",
     "make_global_batch",

@@ -4,6 +4,9 @@ The reference carries Magic-Formula / motor constants in ``session_4/parameters.
 without using them; this tier makes them live. Oracle-free physics sanity checks.
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast representative tier
 import jax
 import jax.numpy as jnp
 import numpy as np

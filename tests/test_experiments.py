@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
+
 from model_predictive_control_tpu.experiments import (
     closed_loop_linear_mpc,
     cost_to_go_comparison,

@@ -1,5 +1,6 @@
 """iLQR / AL-iLQR solver family (solvers/ilqr.py) against LQR and NLP oracles."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ def _lqr_problem(N):
 
 
 class TestILQR:
+    @pytest.mark.smoke
     def test_matches_lqr_on_linear_quadratic(self):
         """On an LQ problem iLQR must reproduce the Riccati solution exactly
         (the backward pass IS the Riccati recursion there)."""

@@ -1,6 +1,9 @@
 """Integrator order checks — the formalized version of the reference's
 ``compare_open_loop`` error sweep (``session4_sol.py:65-104``, SURVEY.md §4)."""
 
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast representative tier
 import jax.numpy as jnp
 import numpy as np
 

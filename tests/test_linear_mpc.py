@@ -34,6 +34,7 @@ def problem_dict(p: mpc.Problem, QN=None):
     }
 
 
+@pytest.mark.smoke
 def test_prediction_matrices_match_numpy():
     p = mpc.session2_problem(N=7)
     sys = p.system(jnp.float64)
@@ -43,6 +44,7 @@ def test_prediction_matrices_match_numpy():
     np.testing.assert_allclose(Gamma, Gamma_np, atol=1e-13)
 
 
+@pytest.mark.smoke
 def test_condensed_qp_matches_numpy():
     p = mpc.session2_problem(N=6)
     sys = p.system(jnp.float64)
@@ -88,6 +90,7 @@ def test_closed_loop_golden_match(solver, iters):
     assert bool(np.all(np.asarray(res.logs["solver_success"])))
 
 
+@pytest.mark.smoke
 def test_constraints_respected_in_closed_loop():
     p = mpc.session2_problem(N=20)
     ctrl = mpc.make_linear_mpc(p, solver="pdip", iters=50, dtype=jnp.float64)

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # fast representative tier
+
 import model_predictive_control_tpu as mpc
 from model_predictive_control_tpu.oracle.lqr_oracle import (
     dare_np,

@@ -39,6 +39,7 @@ def test_timer_fences_device_work():
     assert t.elapsed is not None and t.elapsed > 0.0
 
 
+@pytest.mark.smoke
 def test_metrics_logger_jsonl_roundtrip(tmp_path):
     path = str(tmp_path / "metrics.jsonl")
     with MetricsLogger(path) as log:
@@ -67,6 +68,7 @@ def test_summarize_run_health_fields():
     assert summary["prim_res_max"] >= summary["prim_res_p50"] >= 0.0
 
 
+@pytest.mark.smoke
 def test_checkpoint_resume_bitexact(tmp_path):
     path = str(tmp_path / "sweep.npz")
     state = {

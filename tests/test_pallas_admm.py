@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
+
 import model_predictive_control_tpu as mpc
 from model_predictive_control_tpu.control.batch_loop import simulate_batch
 from model_predictive_control_tpu.ops.pallas.admm_kernel import admm_solve_pallas

@@ -5,6 +5,9 @@ Runs the same kernel code the TPU executes, in Pallas interpreter mode on CPU
 `solvers/ilqr.py::al_ilqr_solve` — the oracle-gated reference implementation
 (tests/test_ilqr.py certifies THAT path against scipy to 1e-6)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,6 +7,9 @@ implementation (tests/test_riccati_ip.py certifies THAT path against the dense
 KKT / condensed-PDIP float64 ground truths), plus a direct float64 oracle gate.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
 import jax
 import jax.numpy as jnp
 import numpy as np

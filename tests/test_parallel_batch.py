@@ -1,6 +1,9 @@
 """Pod-scale parameter-perturbation sweep tests (BASELINE config 5 semantics at
 tiny sizes, on the 8-virtual-device CPU mesh from conftest)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
 import os
 
 import jax

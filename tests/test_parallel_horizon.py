@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
+
 import model_predictive_control_tpu as mpc
 from model_predictive_control_tpu.control.simulate import rollout
 from model_predictive_control_tpu.ops.parallel_horizon import (

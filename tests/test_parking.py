@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
+
 import model_predictive_control_tpu as mpc
 from model_predictive_control_tpu.models.parameters import VehicleParameters
 from model_predictive_control_tpu.solvers.parking import (

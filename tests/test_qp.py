@@ -40,6 +40,7 @@ def test_pdip_matches_oracle(seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 3, 4])
+@pytest.mark.smoke
 def test_admm_polish_matches_oracle(seed):
     rng = np.random.default_rng(seed)
     P, A, q, l, u = random_qp(rng)
@@ -70,6 +71,7 @@ def test_unconstrained_limit():
         np.testing.assert_allclose(np.asarray(sol.x), x_star, atol=1e-7)
 
 
+@pytest.mark.smoke
 def test_active_set_correctness():
     """1-D: min (x-3)² s.t. x ≤ 1 → x*=1, dual = f'(1) = -2·(1-3) = 4 (upper)."""
     P = jnp.asarray([[2.0]])

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
+
 import model_predictive_control_tpu as mpc
 from model_predictive_control_tpu.ops.condensed import build_condensed_qp
 from model_predictive_control_tpu.solvers.qp import pdip_solve, qp_setup

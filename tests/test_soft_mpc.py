@@ -6,6 +6,9 @@ the QP feasible at every measured state via per-stage slacks with an exact ℓ1+
 penalty (``ops/condensed.py::soften_condensed_qp``).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # oracle-heavy / long-running (full tier)
 import jax
 import jax.numpy as jnp
 import numpy as np
