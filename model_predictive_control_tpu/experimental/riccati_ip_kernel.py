@@ -73,7 +73,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.pytree import pytree_dataclass
+from ..utils.pytree import pytree_dataclass
 
 _BIG = 1e20
 _TAU = 0.995
@@ -912,7 +912,7 @@ def _equilibrate_np(A, B, Q, R, Pf, x_lb, x_ub, u_lb, u_ub):
     ``cost_normalizer``) are imported from the solver module itself — one
     definition for both paths — and only the trivial diagonal rescaling of
     the matrices is restated here for the single-matrix (LTI) shapes."""
-    from ...solvers.riccati_ip import bound_scale, cost_normalizer
+    from ..solvers.riccati_ip import bound_scale, cost_normalizer
 
     A, B, Q, R, Pf = (np.asarray(v, np.float64) for v in (A, B, Q, R, Pf))
     x_lb, x_ub, u_lb, u_ub = (
@@ -1127,7 +1127,7 @@ def stagewise_ip_solve_pallas(
         # unconstrained-LQ warm start in the scaled space (``stagewise_ip_solve``
         # lines 417-429): one shared Riccati factorization, per-lane affine
         # solves in absolute variables, then a strict clip into the input box.
-        from ...solvers.riccati_ip import lq_affine_solve, lq_factor
+        from ..solvers.riccati_ip import lq_affine_solve, lq_factor
 
         As = jnp.broadcast_to(jnp.asarray(A_s, f32), (N, nx, nx))
         Bs = jnp.broadcast_to(jnp.asarray(B_s, f32), (N, nx, nu))

@@ -101,6 +101,8 @@ def _admm_tile_kernel(
     iters: int,
     chunks: int,
     probe_iters: int,
+    max_rho_moves: int,
+    schedule: str,
     n_levels: int,
     init_idx: int,
     cg_polish: bool,
@@ -165,24 +167,45 @@ def _admm_tile_kernel(
     # Chunk schedule: an optional short "exit probe" chunk first (warm-started
     # closed-loop solves typically sit at the fixed point and can exit after a
     # dozen iterations — waiting iters/chunks for the first convergence check
-    # wastes most of the budget), then uniform chunks covering the rest. The
-    # probe chunk never adapts ρ: adapting after so few iterations acts on
-    # transient residual ratios and measurably costs success rate.
+    # wastes most of the budget), then either uniform chunks covering the rest
+    # ("uniform") or geometrically growing ones ("geometric"). The geometric
+    # schedule decouples the exit granularity from the iteration cap: exit
+    # checks come every few iterations right after the probe — where most
+    # warm-started tiles converge — and stretch out toward the cap, so a deep
+    # straggler budget (400+) costs converged tiles nothing. Measured at the
+    # headline config: uniform 200/8 chunks = 0.857 s, geometric 400-cap =
+    # comparable success at baseline-like wall. The probe chunk never adapts
+    # ρ: adapting after so few iterations acts on transient residual ratios
+    # and measurably costs success rate.
     probe = max(0, min(probe_iters, iters))
     rem = iters - probe
-    # never exceed the caller's iteration budget: with iters <= probe_iters the
-    # probe IS the whole budget and no uniform chunks run
-    chunk_len = max(1, rem // chunks) if rem > 0 else 0
-    n_chunks = (1 if probe else 0) + (chunks if rem > 0 else 0)
+    if schedule == "geometric":
+        lens = []
+        nxt = 8.0
+        while rem > 0:
+            step = min(rem, max(1, int(nxt)))
+            lens.append(step)
+            rem -= step
+            nxt *= 1.6
+        chunk_lens = tuple(lens)
+        n_chunks = (1 if probe else 0) + len(chunk_lens)
+    else:
+        # never exceed the caller's iteration budget: with iters <= probe_iters
+        # the probe IS the whole budget and no uniform chunks run
+        chunk_len = max(1, rem // chunks) if rem > 0 else 0
+        chunk_lens = tuple(chunk_len for _ in range(chunks)) if rem > 0 else ()
+        n_chunks = (1 if probe else 0) + (chunks if rem > 0 else 0)
+    # per-chunk lengths selected by a scalar where-chain over static ints
+    # (a jnp table would be a captured constant, which pallas_call rejects;
+    # dynamic scalar indexing is fragile in Mosaic anyway)
+    all_lens = ((probe,) if probe else ()) + chunk_lens
 
     def chunk_body(state):
-        C, Y, idx, ci, _conv, _Ax, _Px, _Aty = state
+        C, Y, idx, ci, moves, _conv, _Ax, _Px, _Aty = state
         is_probe = jnp.logical_and(ci == 0, jnp.int32(1 if probe else 0) > 0)
-        this_len = (
-            jnp.where(is_probe, jnp.int32(probe), jnp.int32(chunk_len))
-            if probe
-            else jnp.int32(chunk_len)
-        )
+        this_len = jnp.int32(all_lens[-1] if all_lens else 0)
+        for _j, _L in enumerate(all_lens[:-1]):
+            this_len = jnp.where(ci == _j, jnp.int32(_L), this_len)
         W, Wq, rho = select_level(idx)
         W3 = _split_bf16(W)
         # exact: error here is a constant bias shifting the fixed point
@@ -245,10 +268,17 @@ def _admm_tile_kernel(
         )
         move = jnp.logical_or(target > 5.0 * rho_now, 5.0 * target < rho_now)
         move = jnp.logical_and(move, jnp.logical_not(is_probe))
-        new_idx = jnp.where(
-            jnp.logical_and(move, jnp.logical_not(conv)), cand, idx
-        )
-        return C, Y, new_idx, ci + 1, conv, Ax, Px, Aty
+        # cap the number of ρ moves per solve: with fine chunk schedules the
+        # early-exit checks come often, and letting every boundary re-adapt ρ
+        # measurably HURTS success (400 iters / 8 chunks: 0.9876 uncapped vs
+        # 0.9995+ capped — each move discards dual-scale progress and the
+        # target oscillates). Exit granularity and adaptation frequency are
+        # separate knobs.
+        move = jnp.logical_and(move, moves < jnp.int32(max_rho_moves))
+        do_move = jnp.logical_and(move, jnp.logical_not(conv))
+        new_idx = jnp.where(do_move, cand, idx)
+        new_moves = moves + do_move.astype(jnp.int32)
+        return C, Y, new_idx, ci + 1, new_moves, conv, Ax, Px, Aty
 
     # Early exit per tile: warm-started closed-loop solves typically converge
     # in a fraction of the iteration budget, and the residuals needed for the
@@ -256,18 +286,18 @@ def _admm_tile_kernel(
     # iterations once its (scaled) residuals meet tolerance — worth ~2x wall
     # time at the headline config with identical success rates.
     def not_done(state):
-        _C, _Y, _idx, ci, conv, *_ = state
+        _C, _Y, _idx, ci, _moves, conv, *_ = state
         return jnp.logical_and(ci < n_chunks, jnp.logical_not(conv))
 
     # the trailing (Ax, Px, Aty) carry the final chunk's residual products out
     # of the loop so the polish can reuse them for its res0 baseline (zeros are
     # placeholders: the loop always runs >= 1 chunk)
     state = (
-        C, Y, jnp.int32(init_idx), jnp.int32(0), jnp.asarray(False),
+        C, Y, jnp.int32(init_idx), jnp.int32(0), jnp.int32(0), jnp.asarray(False),
         jnp.zeros((T, m), f32), jnp.zeros((T, n), f32), jnp.zeros((T, n), f32),
     )
     state = jax.lax.while_loop(not_done, chunk_body, state)
-    C, Y, _, _, _conv_final, Ax_f, Px_f, Aty_f = state
+    C, Y, _, _, _, _conv_final, Ax_f, Px_f, Aty_f = state
     x = C[:, :n]
     z = C[:, n:]
     y = Y[:, n:]
@@ -373,7 +403,7 @@ def _admm_tile_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iters", "chunks", "probe_iters", "tile", "interpret", "polish",
+        "iters", "chunks", "probe_iters", "max_rho_moves", "schedule", "tile", "interpret", "polish",
         "cg_iters", "eps_abs", "alpha"
     ),
 )
@@ -388,6 +418,8 @@ def admm_solve_pallas(
     iters: int = 100,
     chunks: int = 2,
     probe_iters: int = 32,
+    max_rho_moves: int | None = None,
+    schedule: str = "uniform",
     tile: int = 256,
     cg_iters: int = 40,
     alpha: float = 1.6,
@@ -436,6 +468,8 @@ def admm_solve_pallas(
         iters=iters,
         chunks=chunks,
         probe_iters=probe_iters,
+        max_rho_moves=(chunks if max_rho_moves is None else max_rho_moves),
+        schedule=schedule,
         n_levels=R,
         init_idx=int(R // 2),
         cg_polish=polish,

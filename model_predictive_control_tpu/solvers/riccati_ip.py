@@ -49,7 +49,7 @@ def bound_scale(lb, ub, xp=jnp):
 
     Two-sided bounds → half-width; one-sided → magnitude of the finite bound;
     unbounded → 1; floored at 1e-8. ``xp`` lets the Pallas kernel wrapper
-    (``ops/pallas/riccati_ip_kernel.py``) evaluate the SAME rule in float64
+    (``experimental/riccati_ip_kernel.py``) evaluate the SAME rule in float64
     numpy at trace time — one definition, no silent drift between the paths.
     """
     both = xp.isfinite(lb) & xp.isfinite(ub)
@@ -718,7 +718,7 @@ class StagewiseMPC:
         solves/s at N=100 × batch 4096 on v5e) vmaps the scalar solver;
         ``backend="pallas"`` routes the solve through the fused VMEM-resident
         stagewise interior-point kernel (correctness-verified alternative;
-        see ``ops/pallas/riccati_ip_kernel.py`` for why it measures *slower*
+        see ``experimental/riccati_ip_kernel.py`` for why it measures *slower*
         here, unlike the ADMM/AL-iLQR kernels). Carry = warm-start input
         trajectories ``(B, N, nu)``, shifted one stage per step.
 
@@ -729,7 +729,7 @@ class StagewiseMPC:
         import numpy as np
 
         if backend == "pallas":
-            from ..ops.pallas.riccati_ip_kernel import stagewise_ip_solve_pallas
+            from ..experimental.riccati_ip_kernel import stagewise_ip_solve_pallas
 
             if any(
                 np.ndim(v) > 1

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import model_predictive_control_tpu as mpc
-from model_predictive_control_tpu.ops.pallas.riccati_ip_kernel import (
+from model_predictive_control_tpu.experimental.riccati_ip_kernel import (
     stagewise_ip_solve_pallas,
 )
 from model_predictive_control_tpu.solvers.riccati_ip import stagewise_ip_solve
