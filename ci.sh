@@ -11,5 +11,6 @@ case "$tier" in
   smoke) exec python -m pytest tests -q -m "smoke and not slow" ;;
   quick) exec python -m pytest tests -q -m "not slow" ;;
   full)  exec python -m pytest tests -q ;;
-  *) echo "usage: ci.sh [smoke|quick|full]" >&2; exit 2 ;;
+  bench) exec python tools/check_bench.py ;;  # real-TPU regression gate vs BENCH_CONTRACT.json
+  *) echo "usage: ci.sh [smoke|quick|full|bench]" >&2; exit 2 ;;
 esac

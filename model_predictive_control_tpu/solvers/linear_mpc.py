@@ -258,6 +258,7 @@ class LinearMPC:
     def batched_policy(
         self, backend: str = "pallas", tile: int = 256, chunks: int = 2,
         max_rho_moves: int | None = None, schedule: str = "uniform",
+        alpha: float = 1.6,
     ):
         """Batch-level receding-horizon policy for
         :func:`~..control.batch_loop.simulate_batch`.
@@ -283,7 +284,7 @@ class LinearMPC:
                 sol = admm_solve_pallas(
                     self.op, q, l, u, warm_x, warm_y, iters=self.iters,
                     chunks=chunks, max_rho_moves=max_rho_moves,
-                    schedule=schedule, tile=tile,
+                    schedule=schedule, tile=tile, alpha=alpha,
                 )
             elif backend == "xla":
                 sol = jax.vmap(

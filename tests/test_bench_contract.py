@@ -1,0 +1,127 @@
+"""Bench regression contract (VERDICT r1 item 3).
+
+Three layers of protection for the recorded headline numbers:
+
+1. (smoke) ``BENCH_CONTRACT.json`` is well-formed and its recorded config is
+   EXACTLY what ``bench.py`` ships — the bench cannot drift from the contract
+   silently.
+2. (slow, CPU) the bench's batched Pallas path at the shipped config is
+   solution-equivalent to the per-scenario XLA path, and the closed loop at a
+   scaled-down batch converges every step — the semantics behind the recorded
+   success rate.
+3. (TPU, out of pytest) ``./ci.sh bench`` runs ``tools/check_bench.py`` which
+   fails on a >20% throughput or any success regression on the real chip.
+"""
+
+import json
+import pathlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import bench  # noqa: E402
+import model_predictive_control_tpu as mpc  # noqa: E402
+from model_predictive_control_tpu.control.batch_loop import simulate_batch  # noqa: E402
+
+
+@pytest.mark.smoke
+def test_contract_matches_bench_config():
+    contract = json.loads((ROOT / "BENCH_CONTRACT.json").read_text())
+    head = contract["headline"]
+    cfg = head["config"]
+    assert cfg["batch"] == bench.BATCH
+    assert cfg["steps"] == bench.STEPS
+    assert cfg["horizon"] == bench.HORIZON
+    assert cfg["admm_iters"] == bench.ADMM_ITERS
+    assert cfg["rho"] == bench.RHO
+    assert cfg["tile"] == bench.TILE
+    # floors must actually be floors
+    assert head["floor_solves_per_s"] <= head["recorded_solves_per_s"]
+    assert head["floor_success_rate"] <= head["recorded_success_rate"]
+    # the recorded point must satisfy the r1-verdict target: >=0.999 at >=5M
+    assert head["recorded_success_rate"] >= 0.999
+    assert head["recorded_solves_per_s"] >= 5e6
+
+
+@pytest.mark.slow
+def test_bench_config_closed_loop_semantics():
+    """Scaled-down bench episode (same solver config, smaller batch/steps) on the
+    Pallas interpreter: every step must converge, and u_0 per step must match the
+    per-scenario XLA path to solver tolerance."""
+    B, steps = 16, 24
+    problem = mpc.session2_problem(N=bench.HORIZON)
+    ctrl = mpc.make_linear_mpc(
+        problem, solver="admm", iters=bench.ADMM_ITERS, dtype=jnp.float32,
+        rho=bench.RHO,
+    )
+    system = problem.system(jnp.float32)
+
+    kp, kv = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    x0s = jnp.stack(
+        [
+            jax.random.uniform(kp, (B,), minval=-140.0, maxval=-20.0),
+            jax.random.uniform(kv, (B,), minval=-15.0, maxval=24.0),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+    def run(backend, tile):
+        policy = ctrl.batched_policy(backend=backend, tile=tile, max_rho_moves=0)
+        carry = ctrl.presolve_batch_carry(x0s, iters_mult=4, backend=backend, tile=tile)
+        return simulate_batch(x0s, system, steps, policy, carry)
+
+    res_k = run("pallas", tile=8)
+    assert bool(jnp.all(res_k.logs["solver_success"])), (
+        np.asarray(res_k.logs["solver_success"])
+    )
+    res_x = run("xla", tile=8)
+    assert bool(jnp.all(res_x.logs["solver_success"]))
+    # Trajectories are NOT compared elementwise: with saturated (bang-bang)
+    # inputs, two solutions both within solver tolerance can flip a switching
+    # step and diverge transiently. The closed-loop contract is regulation:
+    # both paths must drive every scenario toward the origin (strict norm
+    # decrease over the window; full contraction takes ~50 steps).
+    for res in (res_k, res_x):
+        final = np.asarray(res.states[-1])
+        start = np.asarray(res.states[0])
+        assert (
+            np.linalg.norm(final, axis=1) < np.linalg.norm(start, axis=1)
+        ).all()
+    np.testing.assert_allclose(
+        np.asarray(res_k.states[-1]), np.asarray(res_x.states[-1]), atol=2.0
+    )
+
+    # Per-solve sharp gate at the bench's HOT-path config (warm solves are 98%
+    # of the bench: 49 of 50 steps). Warm-started from the per-scenario XLA
+    # path's deep solution, the fixed-rho Pallas kernel must stay at it to
+    # solver tolerance. (Cold far-field solves are intentionally NOT compared
+    # elementwise: at |x0|~140 the scale-relative eps admits near-tie solutions
+    # that differ along flat bang-bang switching directions; the presolve +
+    # closed loop above covers that regime end-to-end.)
+    from model_predictive_control_tpu.ops.pallas.admm_kernel import admm_solve_pallas
+    from model_predictive_control_tpu.solvers.qp import admm_solve
+
+    q, l, u = jax.vmap(ctrl.qp.qp_vectors)(x0s)
+    sol_x = jax.vmap(
+        lambda qq, ll, uu: admm_solve(
+            ctrl.op, qq, ll, uu, iters=8 * bench.ADMM_ITERS, adapt_chunks=10
+        )
+    )(q, l, u)
+    assert bool(jnp.all(sol_x.converged))
+    sol_k = admm_solve_pallas(
+        ctrl.op, q, l, u, warm_x=sol_x.x, warm_y=sol_x.y,
+        iters=bench.ADMM_ITERS, tile=8, max_rho_moves=0,
+    )
+    assert bool(jnp.all(sol_k.converged))
+    # tolerance matches the scale-relative convergence band at |x0|~140 in
+    # float32 (eps_abs*scale ~ O(1)); the regression this guards against
+    # (rho re-adaptation kicking a converged iterate) moved iterates by O(1)
+    np.testing.assert_allclose(
+        np.asarray(sol_k.x), np.asarray(sol_x.x), atol=5e-2
+    )
