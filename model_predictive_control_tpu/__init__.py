@@ -68,6 +68,21 @@ from .solvers.implicit import (
     make_implicit_al_ilqr_solver,
     stagewise_ip_solve_implicit,
 )
+from .estimation import (
+    KalmanFilter,
+    MHE,
+    initial_output_feedback_carry,
+    kalman_filter_trajectory,
+    kalman_gain,
+    make_mhe,
+    output_feedback_policy,
+)
+from .tuning import (
+    TuneResult,
+    make_closed_loop_cost,
+    theta_to_weights,
+    tune_mpc_weights,
+)
 from .solvers.sqp import ShootingOCP, SQPSolution, sqp_solve
 from .solvers.ilqr import (
     ALILQRSolution,

@@ -88,6 +88,18 @@ def main(argv=None) -> int:
     pw.add_argument("--checkpoint-every", type=int, default=0)
     _add_common(pw)
 
+    pt = sub.add_parser(
+        "tune",
+        help="gradient-tune MPC weights through the differentiable closed loop",
+    )
+    pt.add_argument("--horizon", type=int, default=6)
+    pt.add_argument("--steps", type=int, default=16)
+    pt.add_argument("--batch", type=int, default=8)
+    pt.add_argument("--updates", type=int, default=15)
+    pt.add_argument("--lr", type=float, default=0.3)
+    pt.add_argument("--iters", type=int, default=400)
+    _add_common(pt)
+
     pp = sub.add_parser("podscale", help="batched closed-loop throughput")
     pp.add_argument("--batch", type=int, default=4096)
     pp.add_argument("--steps", type=int, default=50)
@@ -142,6 +154,18 @@ def main(argv=None) -> int:
                 sqp_iters=args.sqp_iters,
                 solver=args.solver,
             )
+    elif args.cmd == "tune":
+        from .experiments import tuning as tuning_exp
+
+        summary = tuning_exp.run(
+            outdir=args.outdir,
+            N=args.horizon,
+            steps=args.steps,
+            batch=args.batch,
+            updates=args.updates,
+            learning_rate=args.lr,
+            iters=args.iters,
+        )
     elif args.cmd == "sweep":
         from .parallel import make_mesh, parking_sweep
         from .obs.metrics import Timer

@@ -89,8 +89,13 @@ def ruiz_equilibrate(
         # identically-zero rows/cols (e.g. a state unreachable within one step,
         # like position vs u_0 when B = [0, Ts]ᵀ) get scale 1 — repeatedly
         # dividing by sqrt(tiny) compounds to overflow in f32 otherwise.
-        dx = jnp.where(col_x > 1e-10, 1.0 / jnp.sqrt(col_x), 1.0)
-        dz = jnp.where(col_z > 1e-10, 1.0 / jnp.sqrt(col_z), 1.0)
+        # Double-where keeps 1/sqrt off the untaken branch: its d/dx at a zero
+        # column is inf, and where() would mix that into NaN under jax.grad
+        # (the tuning path differentiates through this setup).
+        safe_x = jnp.where(col_x > 1e-10, col_x, 1.0)
+        safe_z = jnp.where(col_z > 1e-10, col_z, 1.0)
+        dx = jnp.where(col_x > 1e-10, 1.0 / jnp.sqrt(safe_x), 1.0)
+        dz = jnp.where(col_z > 1e-10, 1.0 / jnp.sqrt(safe_z), 1.0)
         P_s = dx[:, None] * P_s * dx[None, :]
         A_s = dz[:, None] * A_s * dx[None, :]
         return D * dx, E * dz, P_s, A_s
