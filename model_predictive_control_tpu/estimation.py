@@ -1,0 +1,316 @@
+"""State estimation: Kalman filtering, moving-horizon estimation, output feedback.
+
+The reference controls the full measured state everywhere (its ``simulate`` loop
+feeds ``x`` straight back into the controller; ``session_1/LinearSystem.py:12-14``
+defines an output equation that no exercise ever closes a loop around). A
+production MPC stack needs the estimation half: this module supplies it,
+designed around the engine's existing TPU primitives rather than new machinery —
+
+- **Steady-state Kalman gain** via the *control↔filter DARE duality*: the filter
+  DARE is the control DARE of ``(Aᵀ, Cᵀ)``, so the gain reuses
+  :func:`..ops.riccati.dare_sda` (structured doubling, branch-free) — no new
+  Riccati code.
+- **Time-varying Kalman filter** as one ``lax.scan`` carrying ``(x̂, P)``.
+- **Moving-horizon estimation (MHE)** transcribed to exactly the engine's hot
+  object: a condensed box-QP in the decision vector ``z = [x₀; w₀..w_{M−1}]``
+  (arrival cost + process/measurement weights in the Hessian, state bounds as
+  box rows). One ``qp_setup`` per window geometry; per-window data is only the
+  linear term + bounds, so batched MHE rides the same fused Pallas ADMM kernel
+  as batched MPC, and it is differentiable through
+  :func:`..solvers.implicit.make_implicit_qp_solver` for noise-covariance
+  tuning.
+- **Output-feedback MPC**: a policy closure chaining measurement update →
+  :class:`..solvers.linear_mpc.LinearMPC` solve, for
+  :func:`..control.simulate.simulate` loops driven by noisy outputs ``y``.
+
+Unconstrained MHE with the exact arrival covariance is algebraically the Kalman
+filter — ``tests/test_estimation.py`` pins that equivalence to float64 tolerance,
+which gates every term of the QP transcription at once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .models.linear import LinearSystem
+from .ops.condensed import prediction_matrices
+from .ops.riccati import dare_sda
+from .solvers.qp import QPOperator, admm_solve, qp_setup
+from .utils.precision import solver_precision
+from .utils.pytree import pytree_dataclass, static_field
+
+
+# ---------------------------------------------------------------------------
+# Kalman filtering
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class KalmanFilter:
+    """Steady-state (a priori) Kalman filter for ``x⁺ = Ax + Bu + w``,
+    ``y = Cx + v`` with ``w ~ N(0, Qw)``, ``v ~ N(0, Rv)``."""
+
+    system: LinearSystem
+    L: jnp.ndarray  # (nx, ny) steady-state innovation gain (a priori form)
+    P: jnp.ndarray  # (nx, nx) steady-state a priori error covariance
+
+    def step(self, xhat, u, y_next):
+        """Predict with ``u``, then correct with the next measurement."""
+        A, B, C = self.system.A, self.system.B, self.system.C
+        xpred = A @ xhat + B @ u
+        return xpred + self.L @ (y_next - C @ xpred)
+
+
+@solver_precision
+def kalman_gain(
+    system: LinearSystem, Qw: jnp.ndarray, Rv: jnp.ndarray, iters: int = 30
+) -> KalmanFilter:
+    """Steady-state gain from the filter DARE, by duality.
+
+    The filter DARE ``P = APAᵀ − APCᵀ(CPCᵀ+Rv)⁻¹CPAᵀ + Qw`` is the control
+    DARE (:func:`..ops.riccati.dare_sda` docstring) evaluated at
+    ``(A, B, Q, R) → (Aᵀ, Cᵀ, Qw, Rv)``.
+    """
+    if system.C is None:
+        raise ValueError("kalman_gain needs a system with an output equation")
+    A, C = system.A, system.C
+    P = dare_sda(A.T, C.T, Qw, Rv, iters=iters)
+    S = C @ P @ C.T + Rv
+    L = jnp.linalg.solve(S.T, (P @ C.T).T).T  # P Cᵀ S⁻¹ without forming S⁻¹
+    return KalmanFilter(system=system, L=L, P=P)
+
+
+def kalman_filter_trajectory(
+    system: LinearSystem,
+    Qw: jnp.ndarray,
+    Rv: jnp.ndarray,
+    xhat0: jnp.ndarray,
+    P0: jnp.ndarray,
+    us: jnp.ndarray,  # (T, nu) applied inputs
+    ys: jnp.ndarray,  # (T, ny) measurements of x_1..x_T
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Time-varying Kalman filter as one scan carrying ``(x̂, P)``.
+
+    ``xhat0``/``P0`` describe the posterior at time 0; step ``k`` predicts
+    through ``us[k]`` and corrects with ``ys[k]`` (the measurement of
+    ``x_{k+1}``). Returns stacked posteriors ``(T, nx)`` and ``(T, nx, nx)``.
+    """
+    A, B, C = system.A, system.B, system.C
+
+    @solver_precision
+    def step(carry, inp):
+        xhat, P = carry
+        u, y = inp
+        xpred = A @ xhat + B @ u
+        Ppred = A @ P @ A.T + Qw
+        S = C @ Ppred @ C.T + Rv
+        K = jnp.linalg.solve(S.T, (Ppred @ C.T).T).T
+        xnew = xpred + K @ (y - C @ xpred)
+        KC = K @ C
+        I = jnp.eye(A.shape[0], dtype=A.dtype)
+        # Joseph form: keeps P symmetric PSD in float32
+        Pnew = (I - KC) @ Ppred @ (I - KC).T + K @ Rv @ K.T
+        return (xnew, Pnew), (xnew, Pnew)
+
+    _, (xs, Ps) = jax.lax.scan(step, (xhat0, P0), (us, ys))
+    return xs, Ps
+
+
+# ---------------------------------------------------------------------------
+# Moving-horizon estimation
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class MHE:
+    """Condensed MHE over a fixed window of ``M`` steps.
+
+    Decision vector ``z = [x₀ (nx); w₀..w_{M−1} (M·nx)]``; window states are
+    ``X = Φ x₀ + Γ_u ū + Γ_w w̄`` (the same prediction-matrix build as the MPC
+    condensing, with ``B → I`` for the noise channel). The quadratic cost
+
+        ‖x₀ − x̄‖²_{P₀⁻¹} + Σ‖wₖ‖²_{Qw⁻¹} + Σ‖yₖ − C xₖ‖²_{Rv⁻¹}
+
+    fixes the Hessian once per window geometry; per-window data (x̄, ū, ȳ)
+    only moves the linear term and the bound shifts — the same split that makes
+    batched MPC one fused kernel call.
+    """
+
+    system: LinearSystem
+    op: QPOperator | None
+    H: jnp.ndarray  # (nz, nz) cost Hessian
+    Phi: jnp.ndarray  # (M nx, nx)
+    Gamma_u: jnp.ndarray  # (M nx, M nu)
+    Gamma_w: jnp.ndarray  # (M nx, M nx)
+    Cbar: jnp.ndarray  # ((M+1) ny, nz) stacked observation map of z
+    obs_shift: jnp.ndarray  # ((M+1) ny, M nu): Cbar_u for the known-input part
+    P0_inv: jnp.ndarray
+    Qw_inv: jnp.ndarray
+    Rv_inv: jnp.ndarray
+    x_lb: jnp.ndarray  # (M nx,) stage-state bounds (±inf when unbounded)
+    x_ub: jnp.ndarray
+    M: int = static_field(default=10)
+    iters: int = static_field(default=200)
+
+    @property
+    def nx(self) -> int:
+        return self.system.A.shape[0]
+
+    def _linear_term(self, xbar, us, ys):
+        """q(z) for the window data; ys stacks y₀..y_M (M+1 measurements)."""
+        nz = self.H.shape[0]
+        nx = self.nx
+        yflat = ys.reshape(-1)
+        uflat = us.reshape(-1)
+        # measurement residual: y − Cbar z − obs_shift ū
+        y_eff = yflat - self.obs_shift @ uflat
+        q = -(self.Cbar.T @ (jnp.kron(jnp.eye(self.M + 1, dtype=yflat.dtype), self.Rv_inv) @ y_eff))
+        q = q.at[:nx].add(-(self.P0_inv @ xbar))
+        return q
+
+    def solve(self, xbar, us, ys, warm=None):
+        """One window solve → (x̂_M, full_state_window, w_hat, QPSolution).
+
+        ``xbar``: arrival mean for x₀ (prior). ``us``: (M, nu). ``ys``:
+        (M+1, ny) measurements of x₀..x_M.
+        """
+        if self.op is None:
+            raise ValueError(
+                "this MHE was built without state bounds; use solve_unconstrained"
+            )
+        q = self._linear_term(xbar, us, ys)
+        nx, M = self.nx, self.M
+        shift = self.Gamma_u @ us.reshape(-1)
+        # box rows: x0 first (unshifted), then the window states x_1..x_M
+        l = jnp.concatenate([self.x_lb[:nx], self.x_lb - shift])
+        u_b = jnp.concatenate([self.x_ub[:nx], self.x_ub - shift])
+        sol = admm_solve(self.op, q, l, u_b, iters=self.iters, warm=warm)
+        z = sol.x
+        x0 = z[:nx]
+        w = z[nx:]
+        X = (self.Phi @ x0 + shift + self.Gamma_w @ w).reshape(M, nx)
+        return X[-1], jnp.concatenate([x0[None, :], X], axis=0), w.reshape(M, nx), sol
+
+    def solve_unconstrained(self, xbar, us, ys):
+        """Closed-form window solve (no state bounds): H z = −q."""
+        q = self._linear_term(xbar, us, ys)
+        z = jnp.linalg.solve(self.H, -q)
+        nx, M = self.nx, self.M
+        x0 = z[:nx]
+        w = z[nx:]
+        X = (self.Phi @ x0 + self.Gamma_u @ us.reshape(-1) + self.Gamma_w @ w).reshape(M, nx)
+        return X[-1], jnp.concatenate([x0[None, :], X], axis=0), w.reshape(M, nx)
+
+
+@solver_precision
+def make_mhe(
+    system: LinearSystem,
+    Qw: jnp.ndarray,
+    Rv: jnp.ndarray,
+    P0: jnp.ndarray,
+    M: int,
+    x_min: jnp.ndarray | None = None,
+    x_max: jnp.ndarray | None = None,
+    iters: int = 200,
+    rho: float = 0.1,
+) -> MHE:
+    """Build the condensed MHE QP for a window of ``M`` steps.
+
+    ``x_min``/``x_max`` (shape ``(nx,)``) bound the window states x₁..x_M
+    (known physical limits — the one thing a Kalman filter cannot encode).
+    """
+    if system.C is None:
+        raise ValueError("make_mhe needs a system with an output equation")
+    A, B, C = system.A, system.B, system.C
+    nx, nu = B.shape
+    ny = C.shape[0]
+    dtype = A.dtype
+    I = jnp.eye(nx, dtype=dtype)
+
+    Phi, Gamma_u = prediction_matrices(A, B, M)
+    _, Gamma_w = prediction_matrices(A, I, M)
+
+    P0_inv = jnp.linalg.inv(P0.astype(dtype))
+    Qw_inv = jnp.linalg.inv(Qw.astype(dtype))
+    Rv_inv = jnp.linalg.inv(Rv.astype(dtype))
+
+    # observation map of z = [x0; w]: y0 = C x0; y_k = C (Φ_k x0 + Γ_w,k w) + C Γ_u,k ū
+    Cbig = jnp.kron(jnp.eye(M, dtype=dtype), C)  # (M ny, M nx)
+    top = jnp.concatenate([C, jnp.zeros((ny, M * nx), dtype)], axis=1)
+    rest = jnp.concatenate([Cbig @ Phi, Cbig @ Gamma_w], axis=1)
+    Cbar = jnp.concatenate([top, rest], axis=0)  # ((M+1) ny, nz)
+    obs_shift = jnp.concatenate(
+        [jnp.zeros((ny, M * nu), dtype), Cbig @ Gamma_u], axis=0
+    )
+
+    Rbig = jnp.kron(jnp.eye(M + 1, dtype=dtype), Rv_inv)
+    H = Cbar.T @ Rbig @ Cbar
+    H = H.at[:nx, :nx].add(P0_inv)
+    H = H + jax.scipy.linalg.block_diag(
+        jnp.zeros((nx, nx), dtype), jnp.kron(jnp.eye(M, dtype=dtype), Qw_inv)
+    )
+    H = 0.5 * (H + H.T)
+
+    bounded = x_min is not None or x_max is not None
+    x_lb = jnp.tile(
+        jnp.full((nx,), -jnp.inf, dtype) if x_min is None else jnp.asarray(x_min, dtype), M
+    )
+    x_ub = jnp.tile(
+        jnp.full((nx,), jnp.inf, dtype) if x_max is None else jnp.asarray(x_max, dtype), M
+    )
+
+    op = None
+    if bounded:
+        # box rows: x0 (identity block) AND the window states as functions of z
+        A_c = jnp.concatenate(
+            [
+                jnp.concatenate([I, jnp.zeros((nx, M * nx), dtype)], axis=1),
+                jnp.concatenate([Phi, Gamma_w], axis=1),
+            ],
+            axis=0,
+        )  # ((M+1) nx, nz)
+        op = qp_setup(H, A_c, rho=rho)
+
+    return MHE(
+        system=system, op=op, H=H, Phi=Phi, Gamma_u=Gamma_u, Gamma_w=Gamma_w,
+        Cbar=Cbar, obs_shift=obs_shift, P0_inv=P0_inv, Qw_inv=Qw_inv,
+        Rv_inv=Rv_inv, x_lb=x_lb, x_ub=x_ub, M=M, iters=iters,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Output-feedback MPC
+# ---------------------------------------------------------------------------
+
+
+def output_feedback_policy(
+    ctrl, kf: KalmanFilter
+) -> Callable:
+    """Chain Kalman correction → MPC solve into one policy for closed loops
+    driven by measurements.
+
+    Returns ``policy(y, t, carry) -> (u, carry, aux)`` (the
+    :func:`..control.simulate.simulate` policy protocol, with the measurement
+    in the state slot) and ``carry = (x̂, mpc_carry)``: correct the *predicted*
+    estimate with the new measurement ``y``, solve the MPC at the corrected
+    estimate, then predict through the applied input. ``aux`` adds
+    ``state_estimate`` to the MPC's per-step log pytree.
+    """
+    mpc_policy = ctrl.policy()
+    A, B, C = kf.system.A, kf.system.B, kf.system.C
+
+    def policy(y, t, carry):
+        xhat_pred, mpc_carry = carry
+        xhat = xhat_pred + kf.L @ (y - C @ xhat_pred)
+        u, mpc_carry, aux = mpc_policy(xhat, t, mpc_carry)
+        aux = dict(aux, state_estimate=xhat)
+        return u, (A @ xhat + B @ u, mpc_carry), aux
+
+    return policy
+
+
+def initial_output_feedback_carry(ctrl, xhat0: jnp.ndarray, dtype=jnp.float32):
+    return (jnp.asarray(xhat0, dtype), ctrl.initial_carry(dtype))
