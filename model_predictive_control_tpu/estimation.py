@@ -281,6 +281,46 @@ def make_mhe(
     )
 
 
+def mhe_trajectory(
+    mhe: MHE,
+    xbar0: jnp.ndarray,
+    us: jnp.ndarray,  # (T, nu), T >= M
+    ys: jnp.ndarray,  # (T + 1, ny) measurements of x_0..x_T
+    unconstrained: bool = False,
+) -> jnp.ndarray:
+    """Receding-horizon MHE over a record: one ``lax.scan`` over window starts.
+
+    Window ``k`` estimates ``x_{k+M}`` from ``us[k:k+M]``, ``ys[k:k+M+1]`` and
+    the filtering-style arrival mean ``x̄_{k+1} = A x̂₀ + B u_k + ŵ₀`` (the
+    smoothed head of the previous window, propagated one step). The arrival
+    covariance is held at the build-time ``P₀`` — the standard fixed-arrival
+    approximation (exact covariance propagation would re-derive the KF; use
+    the steady-state :func:`kalman_gain` ``P`` for ``P₀`` in long records).
+
+    Returns the stacked window-end estimates, shape ``(T − M + 1, nx)``.
+    """
+    M = mhe.M
+    T = us.shape[0]
+    A, B = mhe.system.A, mhe.system.B
+
+    def win(k, xbar):
+        u_w = jax.lax.dynamic_slice_in_dim(us, k, M, axis=0)
+        y_w = jax.lax.dynamic_slice_in_dim(ys, k, M + 1, axis=0)
+        if unconstrained:
+            x_M, X, w = mhe.solve_unconstrained(xbar, u_w, y_w)
+        else:
+            x_M, X, w, _ = mhe.solve(xbar, u_w, y_w)
+        xbar_next = A @ X[0] + B @ u_w[0] + w[0]
+        return x_M, xbar_next
+
+    def step(xbar, k):
+        x_M, xbar_next = win(k, xbar)
+        return xbar_next, x_M
+
+    _, x_ends = jax.lax.scan(step, xbar0, jnp.arange(T - M + 1))
+    return x_ends
+
+
 # ---------------------------------------------------------------------------
 # Output-feedback MPC
 # ---------------------------------------------------------------------------

@@ -213,3 +213,32 @@ def test_output_feedback_mpc_regulates():
     # xhats[k] estimates the PRE-step state of step k (i.e. xs[k-1]).
     est_err = jnp.mean(jnp.sum((xhats[1:] - xs[:-1]) ** 2, axis=1))
     assert float(est_err) < 0.05
+
+
+def test_receding_mhe_tracks_like_kf():
+    """Sliding-window MHE over a long record stays close to the time-varying
+    KF (fixed-arrival approximation) and both track the truth."""
+    system, Qw, Rv = _noisy_double_integrator()
+    M, T = 8, 60
+    x0 = jnp.asarray([1.5, -0.5], jnp.float64)
+    us = 0.1 * jnp.sin(0.2 * jnp.arange(T, dtype=jnp.float64))[:, None]
+    xs, ys = _simulate_noisy(system, Qw, Rv, x0, us, jax.random.PRNGKey(7))
+    y0 = system.C @ x0
+    ys_all = jnp.concatenate([y0[None], ys], axis=0)  # (T+1, ny): x_0..x_T
+
+    kf = est.kalman_gain(system, Qw, Rv)
+    mhe = est.make_mhe(system, Qw, Rv, kf.P, M)
+    x_ends = est.mhe_trajectory(mhe, x0, us, ys_all, unconstrained=True)
+    assert x_ends.shape == (T - M + 1, 2)
+
+    xh, _ = est.kalman_filter_trajectory(
+        system, Qw, Rv, x0, kf.P, us, ys
+    )  # xh[k] estimates x_{k+1}
+    # window k ends at x_{k+M} -> compare with xh[k+M-1]
+    kf_aligned = xh[M - 1 :]
+    err = jnp.max(jnp.abs(x_ends - kf_aligned))
+    assert float(err) < 0.05  # fixed-arrival approximation, not exact
+    true_aligned = xs[M:]
+    rmse = float(jnp.sqrt(jnp.mean((x_ends - true_aligned) ** 2)))
+    assert rmse < 0.25  # sigma_v = 0.2 position-only: velocity carries ~0.1-0.2
+
