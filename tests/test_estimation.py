@@ -295,3 +295,51 @@ def test_batched_mhe_rides_the_pallas_kernel():
         np.testing.assert_allclose(
             np.asarray(sol_k.x[i]), np.asarray(sol_x.x), atol=5e-4
         )
+
+
+def test_grad_through_mhe_tunes_noise_covariance():
+    """jax.grad flows through make_mhe (inverses, kron, prediction matrices)
+    and the window solve: tuning log-diag Qw by gradient descent reduces the
+    estimation error when the assumed process noise is badly wrong."""
+    system, Qw_true, Rv = _noisy_double_integrator()
+    M = 8
+    x0 = jnp.asarray([1.0, 0.5], jnp.float64)
+    us = 0.15 * jnp.cos(0.25 * jnp.arange(M, dtype=jnp.float64))[:, None]
+
+    # several independent windows for a stable objective
+    keys = jax.random.split(jax.random.PRNGKey(33), 6)
+    data = []
+    for k in keys:
+        xs, ys = _simulate_noisy(system, Qw_true, Rv, x0, us, k)
+        y0 = system.C @ x0
+        data.append((jnp.concatenate([y0[None], ys]), xs[-1]))
+    ys_b = jnp.stack([d[0] for d in data])
+    xT_b = jnp.stack([d[1] for d in data])
+    P0 = 0.25 * jnp.eye(2, dtype=jnp.float64)
+
+    def loss(theta):
+        Qw = jnp.diag(jnp.exp(theta))
+        mhe = est.make_mhe(system, Qw, Rv, P0, M)
+        def one(ys):
+            x_M, _, _ = mhe.solve_unconstrained(x0, us, ys)
+            return x_M
+        xhat = jax.vmap(one)(ys_b)
+        return jnp.mean(jnp.sum((xhat - xT_b) ** 2, axis=1))
+
+    theta0 = jnp.log(jnp.asarray([1.0, 1.0], jnp.float64))  # ~500x too big
+    g = jax.grad(loss)(theta0)
+    eps = 1e-6
+    for i in range(2):
+        d = jnp.zeros_like(theta0).at[i].set(eps)
+        fd = (float(loss(theta0 + d)) - float(loss(theta0 - d))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5, atol=1e-10)
+
+    # plain gradient descent closes most of the gap to the true covariance
+    theta = theta0
+    l0 = float(loss(theta))
+    for _ in range(25):
+        theta = theta - 0.4 * jax.grad(loss)(theta)
+    l1 = float(loss(theta))
+    l_true = float(loss(jnp.log(jnp.diag(Qw_true))))
+    assert l1 < l0
+    assert l1 < l_true * 3.0  # within reach of the true-covariance optimum
