@@ -99,6 +99,12 @@ from .solvers.linear_mpc import (
     session2_problem,
     session3_problem,
 )
+from .solvers.rate_mpc import (
+    RateCondensedQP,
+    RateLimitedMPC,
+    build_rate_condensed_qp,
+    make_rate_limited_mpc,
+)
 from .solvers.riccati_ip import (
     StagewiseIPResult,
     StagewiseMPC,
