@@ -15,11 +15,14 @@ Round-2 solver tuning (VERDICT r1 item 2 — the 0.44% convergence tail):
   success 0.9876 adapting vs 0.9998 fixed). Cold solves (the presolve) keep
   adaptation — they genuinely need it (cold success 0.50 fixed vs 1.0 adaptive
   on random starts).
-- **fixed ρ tuned to the problem family** (``RHO = 0.03``): the QP family is
+- **fixed ρ tuned to the problem family** (``RHO = 0.035``): the QP family is
   static (same P, A_c every step — only (q, l, u) move), so a tuned fixed ρ
   dominates the adaptive default. ρ sweep at 100 iters, tile 2048:
-  0.01 → 0.966, 0.02 → 0.9953, **0.03 → 0.99905 at 5.87M solves/s**,
-  0.1 (r1 default) → 0.9989, 0.3 → 0.985, 1.0 → 0.883.
+  0.01 → 0.966, 0.02 → 0.9953, 0.025 → 0.99866, 0.03 → 0.99905 at 5.87M,
+  **0.035 → 0.99960 at 5.87M solves/s**, 0.04 → 0.99929 at 5.46M,
+  0.1 (r1 default) → 0.9989, 0.3 → 0.985, 1.0 → 0.883. tile=4096 at 0.035:
+  0.99967 at 5.84M (flat); iters 90/80 at 0.03: 6.02M/6.22M but the success
+  tail grows — the shipped point keeps ≥0.999 with margin.
 - The residual ~0.1% tail was characterized (tools/bench_diag.py): transient,
   concentrated in steps 1–8 (active-set churn while the loop settles), one
   failed step per scenario, recoverable with a 4x budget — a deep-cap variant
@@ -46,7 +49,7 @@ BATCH = 65536
 STEPS = 50
 HORIZON = 20
 ADMM_ITERS = 100
-RHO = 0.03  # tuned fixed rho (see module docstring); r1 adaptive default: 0.1
+RHO = 0.035  # tuned fixed rho (see module docstring); r1 adaptive default: 0.1
 # tile sweep on v5e (65k batch, 50 steps, per-scenario early exit in kernel):
 # 512 → 4.74M, 1024 → 4.90M, 2048 → knee ~5.1M, 4096 ≈ flat. 100 MB scoped
 # VMEM cap set in the kernel wrapper.
