@@ -132,15 +132,37 @@ class RateLimitedMPC:
         sol = admm_solve(self.op, q, l, u, iters=self.iters, warm=warm)
         return sol.x.reshape(self.N, self.qp.nu), sol
 
+    def _shift_warm(self, x, y, axis: int = 0):
+        """Shift the warm start one stage, PER CONSTRAINT BLOCK: the dual
+        stacks [inputs (N·nu) | states (N·nx) | rates (N·nu)] and a flat roll
+        would smear duals across block boundaries."""
+        nu, nx, N = self.qp.nu, self.qp.nx, self.qp.N
+
+        def roll(v, d, repeat):
+            head = jax.lax.slice_in_dim(v, d, v.shape[axis], axis=axis)
+            tail = (
+                jax.lax.slice_in_dim(v, v.shape[axis] - d, v.shape[axis], axis=axis)
+                if repeat
+                else jnp.zeros_like(jax.lax.slice_in_dim(v, 0, d, axis=axis))
+            )
+            return jnp.concatenate([head, tail], axis=axis)
+
+        x_w = roll(x, nu, repeat=True)
+        blocks = []
+        for start, size, d in (
+            (0, N * nu, nu), (N * nu, N * nx, nx), (N * nu + N * nx, N * nu, nu)
+        ):
+            blk = jax.lax.slice_in_dim(y, start, start + size, axis=axis)
+            blocks.append(roll(blk, d, repeat=False))
+        return x_w, jnp.concatenate(blocks, axis=axis)
+
     def policy(self):
         nu, N = self.qp.nu, self.qp.N
 
         def policy_fn(x, t, carry):
             x_warm, y_warm, u_prev = carry
             u_traj, sol = self.solve(x, u_prev, warm=(x_warm, y_warm))
-            # shift warm start one stage (repeat last block; zero freed duals)
-            x_w = jnp.concatenate([sol.x[nu:], sol.x[-nu:]])
-            y_w = jnp.concatenate([sol.y[nu:], jnp.zeros((nu,), sol.y.dtype)])
+            x_w, y_w = self._shift_warm(sol.x, sol.y)
             u0 = u_traj[0]
             aux = {
                 "solver_success": sol.converged,
@@ -159,6 +181,51 @@ class RateLimitedMPC:
         return (
             jnp.zeros((n,), dtype),
             jnp.zeros((m,), dtype),
+            jnp.asarray(u_prev, dtype),
+        )
+
+    def batched_policy(self, backend: str = "pallas", tile: int = 256,
+                       max_rho_moves: int | None = None):
+        """Batch-level policy for :func:`..control.batch_loop.simulate_batch`;
+        same carry contract as :meth:`policy` with a leading batch axis."""
+        nu = self.qp.nu
+
+        def policy_fn(x, t, carry):
+            x_warm, y_warm, u_prev = carry
+            q, l, u = jax.vmap(self.qp.qp_vectors)(x, u_prev)
+            if backend == "pallas":
+                from ..ops.pallas.admm_kernel import admm_solve_pallas
+
+                sol = admm_solve_pallas(
+                    self.op, q, l, u, x_warm, y_warm, iters=self.iters,
+                    tile=tile, max_rho_moves=max_rho_moves,
+                )
+            elif backend == "xla":
+                sol = jax.vmap(
+                    lambda qq, ll, uu, wx, wy: admm_solve(
+                        self.op, qq, ll, uu, iters=self.iters, warm=(wx, wy)
+                    )
+                )(q, l, u, x_warm, y_warm)
+            else:
+                raise ValueError(f"unknown backend {backend!r}")
+            u0 = sol.x[:, :nu]
+            x_w, y_w = self._shift_warm(sol.x, sol.y, axis=1)
+            aux = {
+                "solver_success": sol.converged,
+                "du": u0 - u_prev,
+            }
+            return u0, (x_w, y_w, u0), aux
+
+        return policy_fn
+
+    def initial_batch_carry(self, batch: int, u_prev=None, dtype=jnp.float32):
+        n = self.qp.P.shape[0]
+        m = self.qp.A_c.shape[0]
+        if u_prev is None:
+            u_prev = jnp.zeros((batch, self.qp.nu), dtype)
+        return (
+            jnp.zeros((batch, n), dtype),
+            jnp.zeros((batch, m), dtype),
             jnp.asarray(u_prev, dtype),
         )
 

@@ -85,3 +85,38 @@ def test_smoothing_weight_reduces_variation():
     # the floor is one 0 -> full-brake -> 0 excursion; w=50 takes ~35% off
     assert tv_s < 0.75 * tv_r
     assert float(jnp.linalg.norm(res_s.states[-1])) < 2.0
+
+
+@pytest.mark.slow
+def test_batched_policy_matches_scalar_loop():
+    """Batched rate-limited closed loop (Pallas interpret + XLA backends) vs the
+    per-scenario scalar loop: success everywhere, same regulation."""
+    from model_predictive_control_tpu.control.batch_loop import simulate_batch
+
+    problem = mpc.session2_problem(N=12)
+    # 400 iters: the tile-shared-rho pallas path needs a little more than the
+    # per-scenario XLA path on the hardest cold scenario here
+    ctrl = mpc.make_rate_limited_mpc(problem, du_max=4.0, iters=400, dtype=jnp.float64)
+    system = problem.system(jnp.float64)
+    x0s = jnp.asarray([[-50.0, 4.0], [-30.0, -2.0], [-60.0, 6.0]], jnp.float64)
+    steps = 40
+
+    # bound slack: the per-scenario XLA path's active-set polish lands on the
+    # bound to ~1e-5; the tile-batched pallas path converges to the
+    # scale-relative band (eps_abs * scale ~ 0.2 on early cold-ish steps)
+    for backend, slack in (("pallas", 0.2), ("xla", 1e-5)):
+        policy = ctrl.batched_policy(backend=backend, tile=4)
+        carry = ctrl.initial_batch_carry(x0s.shape[0], dtype=jnp.float64)
+        res = simulate_batch(x0s, system, steps, policy, carry)
+        assert bool(jnp.all(res.logs["solver_success"])), backend
+        assert float(jnp.abs(res.logs["du"]).max()) <= 4.0 + slack, backend
+        assert float(jnp.linalg.norm(res.states[-1], axis=1).max()) < 2.0
+
+    # scalar-loop cross-check on one scenario
+    res1 = _loop(ctrl, [-50.0, 4.0], steps)
+    policy = ctrl.batched_policy(backend="xla")
+    carry = ctrl.initial_batch_carry(3, dtype=jnp.float64)
+    res_b = simulate_batch(x0s, system, steps, policy, carry)
+    np.testing.assert_allclose(
+        np.asarray(res_b.states[:, 0]), np.asarray(res1.states), atol=1e-4
+    )
