@@ -100,6 +100,15 @@ def main(argv=None) -> int:
     pt.add_argument("--iters", type=int, default=400)
     _add_common(pt)
 
+    pe = sub.add_parser(
+        "estimate", help="output-feedback MPC on noisy measurements (KF demo)"
+    )
+    pe.add_argument("--horizon", type=int, default=20)
+    pe.add_argument("--steps", type=int, default=60)
+    pe.add_argument("--meas-sigma", type=float, default=0.1)
+    pe.add_argument("--seed", type=int, default=0)
+    _add_common(pe)
+
     pp = sub.add_parser("podscale", help="batched closed-loop throughput")
     pp.add_argument("--batch", type=int, default=4096)
     pp.add_argument("--steps", type=int, default=50)
@@ -165,6 +174,16 @@ def main(argv=None) -> int:
             updates=args.updates,
             learning_rate=args.lr,
             iters=args.iters,
+        )
+    elif args.cmd == "estimate":
+        from .experiments import estimation_demo
+
+        summary = estimation_demo.run(
+            outdir=args.outdir,
+            N=args.horizon,
+            steps=args.steps,
+            meas_sigma=args.meas_sigma,
+            seed=args.seed,
         )
     elif args.cmd == "sweep":
         from .parallel import make_mesh, parking_sweep
