@@ -155,3 +155,29 @@ def test_two_plant_closed_loop_exercise5():
     # both runs drive toward the spot from [0.6, -0.25]
     assert np.linalg.norm(np.asarray(res_model.states)[-1, :2]) < 0.15
     assert np.linalg.norm(np.asarray(res_exact.states)[-1, :2]) < 0.25
+
+
+def test_cli_tune_and_estimate(tmp_path, capsys):
+    """Round-2 subcommands: gradient weight tuning + output-feedback demo."""
+    assert (
+        mpc_cli.main(
+            ["tune", "--updates", "3", "--batch", "3", "--steps", "8",
+             "--iters", "200", "--outdir", str(tmp_path)]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["final_loss"] < out["initial_loss"]
+    assert (tmp_path / "tuning_loss.png").exists()
+
+    assert (
+        mpc_cli.main(
+            ["estimate", "--steps", "20", "--horizon", "10",
+             "--outdir", str(tmp_path)]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["success_rate"] == 1.0
+    assert out["est_rmse_pos"] < 0.3
+    assert (tmp_path / "estimation_demo.png").exists()
