@@ -26,7 +26,7 @@ def main() -> int:
         [sys.executable, str(ROOT / "bench.py")],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1500,  # cold remote compile can take 10+ min on this tunnel
         cwd=ROOT,
     )
     sys.stdout.write(proc.stdout)
