@@ -69,18 +69,28 @@ def simulate(
     policy: Policy,
     policy_carry: Any = (),
     instability_norm: float = INSTABILITY_NORM,
+    disturbances: jnp.ndarray | None = None,
 ) -> SimResult:
     """Roll the plant ``dynamics`` forward ``steps`` steps under ``policy``.
 
     One jitted ``lax.scan``; vmap over ``x0`` (and over dynamics parameters via
     closure pytrees) for scenario batching.
+
+    ``disturbances``: optional ``(steps, nx)`` additive process disturbances —
+    ``x_{t+1} = dynamics(x_t, u_t) + w_t`` — the robust-MPC workload axis
+    (generalizing the reference's plant-mismatch experiment,
+    ``session4_sol.py:461-465``, to per-step bounded noise). Batch disturbance
+    realizations by vmapping over this argument.
     """
     x0 = jnp.asarray(x0)
 
-    def step(carry, t):
+    def step(carry, scanned):
+        t, w = scanned
         x, pcarry, unstable = carry
         u, pcarry, aux = policy(x, t, pcarry)
         x_next = dynamics(x, u)
+        if w is not None:
+            x_next = x_next + w
         unstable = jnp.logical_or(
             unstable, jnp.linalg.norm(x_next) > instability_norm
         )
@@ -88,7 +98,7 @@ def simulate(
 
     init = (x0, policy_carry, jnp.asarray(False))
     (_, _, unstable), (xs, us, logs) = jax.lax.scan(
-        step, init, jnp.arange(steps)
+        step, init, (jnp.arange(steps), disturbances)
     )
     states = jnp.concatenate([x0[None], xs], axis=0)
     return SimResult(states=states, inputs=us, unstable=unstable, logs=logs)

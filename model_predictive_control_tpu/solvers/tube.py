@@ -1,0 +1,219 @@
+"""Rigid-tube robust linear MPC for additive bounded disturbances.
+
+Reference context: the reference's only robustness workload is exercise 5's
+model-mismatch closed loop (``session_4/session4_sol.py:443-488``) — same
+controller, perturbed plant — while its linear sessions (``session_2/problem.py:
+4-33``) assume the nominal model is exact. This module supplies the principled
+linear-session upgrade: **rigid-tube robust MPC** (the Mayne–Seron–Raković
+pattern) for plants
+
+    x⁺ = A x + B u + w,      |w| ≤ w_half  elementwise (box disturbance set W).
+
+Design
+------
+- An ancillary LQR gain ``K`` (DARE) keeps the true state inside a tube
+  ``x ∈ z ⊕ Z`` around a *nominal* state ``z`` that evolves disturbance-free:
+  the applied input is ``u = v + K (x − z)`` and the error ``e = x − z`` obeys
+  ``e⁺ = (A + B K) e + w``, so ``e`` lives in the minimal robust positively
+  invariant (mRPI) set of the stable closed loop.
+- The nominal MPC solves the *same* condensed box-QP as :class:`.linear_mpc.
+  LinearMPC`, on constraint boxes tightened by the tube cross-section
+  (state boxes shrunk by the mRPI support ``z_margin``; input boxes shrunk by
+  the support of ``K·Z``, ``u_margin``) — so every machine-level piece (Ruiz
+  scaling, ADMM/PDIP, warm-start shifting, Pallas batch path) is reused as-is.
+- The mRPI supports are computed host-side in float64 via Raković's geometric
+  outer approximation: find ``s`` with ``A_K^s W ⊆ α W`` (α < 1); then
+  ``(1−α)⁻¹ ⊕_{i<s} A_K^i W`` is RPI and its support in the axis directions
+  is ``(1−α)⁻¹ Σ_{i<s} |A_K^i| w_half`` (entrywise absolute values — exact
+  support of a linear image of a box). This is a one-time setup cost, off the
+  jitted hot path, matching the engine's precompute-once / solve-fast split.
+
+TPU-native notes: the per-step work is one tightened condensed-QP solve plus a
+rank-1 feedback correction — identical shape to the nominal controller, so the
+policy vmaps/shards over scenario batches unchanged, and disturbance
+realizations batch as just another scenario axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass, static_field
+from ..control.simulate import Policy
+from .linear_mpc import LinearMPC, Problem, make_linear_mpc
+
+
+def _np_dare(A: np.ndarray, B: np.ndarray, Q: np.ndarray, R: np.ndarray,
+             iters: int = 10_000, tol: float = 1e-12) -> np.ndarray:
+    """Host-side float64 DARE fixed point (setup-time only)."""
+    P = Q.copy()
+    for _ in range(iters):
+        BtP = B.T @ P
+        K = -np.linalg.solve(R + BtP @ B, BtP @ A)
+        P_next = Q + A.T @ P @ (A + B @ K)
+        P_next = 0.5 * (P_next + P_next.T)
+        if np.max(np.abs(P_next - P)) < tol * (1.0 + np.max(np.abs(P_next))):
+            return P_next
+        P = P_next
+    return P
+
+
+def mrpi_box_margins(
+    A_K: np.ndarray,
+    w_half: np.ndarray,
+    K: np.ndarray,
+    alpha_max: float = 0.5,
+    s_max: int = 400,
+) -> tuple[np.ndarray, np.ndarray, int, float]:
+    """Axis-direction supports of an RPI outer approximation of the mRPI set.
+
+    Returns ``(z_margin, u_margin, s, alpha)`` where ``z_margin[j]`` bounds
+    ``max |e_j|`` and ``u_margin[j]`` bounds ``max |(K e)_j|`` over the RPI set
+    ``Z = (1−α)⁻¹ ⊕_{i<s} A_K^i W`` (Raković et al., TAC 2005 outer bound).
+    ``s`` grows until ``A_K^s W ⊆ α_max W``; raises if ``s_max`` is hit (A_K
+    not stable enough for a useful tube).
+    """
+    A_K = np.asarray(A_K, dtype=np.float64)
+    K = np.asarray(K, dtype=np.float64)
+    w_half = np.asarray(w_half, dtype=np.float64)
+    nx = A_K.shape[0]
+    if not np.any(w_half > 0):
+        return np.zeros(nx), np.zeros(K.shape[0]), 0, 0.0
+
+    T = np.eye(nx)
+    s_z = np.zeros(nx)
+    s_u = np.zeros(K.shape[0])
+    for s in range(1, s_max + 1):
+        s_z = s_z + np.abs(T) @ w_half
+        s_u = s_u + np.abs(K @ T) @ w_half
+        T = A_K @ T
+        # support of A_K^s W in axis directions, relative to W's own box
+        reach = np.abs(T) @ w_half
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratios = np.where(w_half > 0, reach / np.where(w_half > 0, w_half, 1.0),
+                              np.where(reach > 1e-15, np.inf, 0.0))
+        alpha = float(np.max(ratios))
+        if alpha <= alpha_max:
+            scale = 1.0 / (1.0 - alpha)
+            return s_z * scale, s_u * scale, s, alpha
+    raise ValueError(
+        f"A_K^s W not inside {alpha_max}·W after s={s_max} steps — closed loop "
+        "too weakly contractive for a rigid tube with this disturbance set"
+    )
+
+
+@pytree_dataclass
+class TubeMPC:
+    """Rigid-tube robust MPC: nominal tightened MPC + ancillary feedback.
+
+    Control law ``u_t = v_t + K (x_t − z_t)`` where ``v_t`` is the first input
+    of the nominal MPC solved at the nominal state ``z_t`` and
+    ``z_{t+1} = A z_t + B v_t`` (disturbance-free nominal rollout). The carry
+    anchors ``z_0 = x_0`` via :meth:`initial_carry`.
+    """
+
+    inner: LinearMPC  # nominal MPC on the tightened problem
+    A: jnp.ndarray
+    B: jnp.ndarray
+    K: jnp.ndarray  # ancillary gain, u = v + K e  (K already includes the minus sign)
+    z_margin: jnp.ndarray  # (nx,) tube cross-section supports (|e| ≤ z_margin)
+    u_margin: jnp.ndarray  # (nu,) |K e| supports
+    s: int = static_field(default=0)  # Raković horizon used for the RPI bound
+    alpha: float = static_field(default=0.0)
+
+    def initial_carry(self, x0: jnp.ndarray):
+        """Anchor the nominal trajectory at the measured initial state."""
+        x0 = jnp.asarray(x0)
+        return (x0, self.inner.initial_carry(x0.dtype))
+
+    def policy(self) -> Policy:
+        """Receding-horizon tube policy for :func:`~..control.simulate.simulate`.
+
+        Aux extends the ``ControllerLog`` fields with ``nominal`` (z_t),
+        ``error`` (x_t − z_t) and ``tube_ok`` (error inside the certified
+        cross-section) — the robust analog of ``solver_success``.
+        """
+
+        def policy_fn(x, t, carry):
+            z, warm = carry
+            v_traj, sol = self.inner.solve(z, warm=warm)
+            e = x - z
+            u = v_traj[0] + self.K @ e
+            z_next = self.A @ z + self.B @ v_traj[0]
+            x_warm, y_warm = self.inner._shift_warm(sol.x, sol.y)
+            aux = {
+                "solver_success": sol.converged,
+                "state_prediction": self.inner.qp.predict_states(z, sol.x),
+                "input_prediction": v_traj,
+                "nominal": z,
+                "error": e,
+                "tube_ok": jnp.all(jnp.abs(e) <= self.z_margin * 1.0000001),
+            }
+            return u, (z_next, (x_warm, y_warm)), aux
+
+        return policy_fn
+
+
+def make_tube_mpc(
+    problem: Problem,
+    w_half,
+    solver: str = "admm",
+    iters: int = 200,
+    dtype=jnp.float32,
+    terminal: str = "dare",
+    alpha_max: float = 0.5,
+    rho: float = 0.1,
+) -> TubeMPC:
+    """Build a rigid-tube robust MPC from session-2/3 problem data.
+
+    ``w_half``: elementwise half-widths of the box disturbance set on the state
+    update (``|w| ≤ w_half``). Raises ``ValueError`` when the tube does not fit
+    inside the constraint boxes (disturbance too large for the problem).
+    """
+    Ts = problem.Ts
+    A = np.array([[1.0, Ts], [0.0, 1.0]])
+    B = np.array([[0.0], [Ts]])
+    Q = np.diag(np.asarray(problem.Q, dtype=np.float64))
+    R = np.diag(np.asarray(problem.R, dtype=np.float64))
+    P = _np_dare(A, B, Q, R)
+    BtP = B.T @ P
+    K = -np.linalg.solve(R + BtP @ B, BtP @ A)
+    z_margin, u_margin, s, alpha = mrpi_box_margins(
+        A + B @ K, np.asarray(w_half, dtype=np.float64), K, alpha_max=alpha_max
+    )
+
+    tight = Problem(
+        Ts=Ts,
+        Q=problem.Q,
+        R=problem.R,
+        p_min=float(problem.p_min + z_margin[0]),
+        p_max=float(problem.p_max - z_margin[0]),
+        v_min=float(problem.v_min + z_margin[1]),
+        v_max=float(problem.v_max - z_margin[1]),
+        u_min=float(problem.u_min + u_margin[0]),
+        u_max=float(problem.u_max - u_margin[0]),
+        N=problem.N,
+    )
+    if not (tight.p_min < tight.p_max and tight.v_min < tight.v_max
+            and tight.u_min < tight.u_max):
+        raise ValueError(
+            f"tube does not fit: state margins {z_margin}, input margin "
+            f"{u_margin} empty one of the constraint boxes"
+        )
+
+    inner = make_linear_mpc(
+        tight, solver=solver, iters=iters, dtype=dtype, terminal=terminal,
+        rho=rho,
+    )
+    return TubeMPC(
+        inner=inner,
+        A=jnp.asarray(A, dtype=dtype),
+        B=jnp.asarray(B, dtype=dtype),
+        K=jnp.asarray(K, dtype=dtype),
+        z_margin=jnp.asarray(z_margin, dtype=dtype),
+        u_margin=jnp.asarray(u_margin, dtype=dtype),
+        s=s,
+        alpha=alpha,
+    )
