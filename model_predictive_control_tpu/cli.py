@@ -109,6 +109,18 @@ def main(argv=None) -> int:
     pe.add_argument("--seed", type=int, default=0)
     _add_common(pe)
 
+    pr = sub.add_parser(
+        "race", help="dynamic-bicycle lap tracking (Pacejka tier) via NMPC"
+    )
+    pr.add_argument("--steps", type=int, default=200)
+    pr.add_argument("--horizon", type=int, default=15)
+    pr.add_argument("--speed", type=float, default=1.2)
+    pr.add_argument(
+        "--kinematic", action="store_true",
+        help="use the kinematic tier (parking-grade model) instead",
+    )
+    _add_common(pr)
+
     pp = sub.add_parser("podscale", help="batched closed-loop throughput")
     pp.add_argument("--batch", type=int, default=4096)
     pp.add_argument("--steps", type=int, default=50)
@@ -184,6 +196,16 @@ def main(argv=None) -> int:
             steps=args.steps,
             meas_sigma=args.meas_sigma,
             seed=args.seed,
+        )
+    elif args.cmd == "race":
+        from .experiments import racing
+
+        _res, summary = racing.run(
+            steps=args.steps,
+            N=args.horizon,
+            dynamic=not args.kinematic,
+            speed=args.speed,
+            outdir=args.outdir,
         )
     elif args.cmd == "sweep":
         from .parallel import make_mesh, parking_sweep
