@@ -354,3 +354,106 @@ def output_feedback_policy(
 
 def initial_output_feedback_carry(ctrl, xhat0: jnp.ndarray, dtype=jnp.float32):
     return (jnp.asarray(xhat0, dtype), ctrl.initial_carry(dtype))
+
+
+# ---------------------------------------------------------------------------
+# Extended Kalman filter (nonlinear tier)
+# ---------------------------------------------------------------------------
+
+
+class ExtendedKalmanFilter:
+    """EKF for ``x⁺ = F(x, u) + w``, ``y = h(x) + v`` (nonlinear tier).
+
+    The nonlinear twin of :class:`KalmanFilter` for the engine's bicycle
+    models: Jacobians come from ``jax.jacfwd`` through the discrete step —
+    where the reference would need CasADi for exactly this linearization
+    (``session_4/main.py:41-46``), here it is one transform on the same
+    function the controller already predicts with.
+
+    A plain container (closures capture as jit constants); the covariance
+    update uses Joseph form to stay PSD in float32.
+    """
+
+    def __init__(self, step_fn: Callable, obs_fn: Callable,
+                 Qw: jnp.ndarray, Rv: jnp.ndarray):
+        self.step_fn = step_fn
+        self.obs_fn = obs_fn
+        self.Qw = jnp.asarray(Qw)
+        self.Rv = jnp.asarray(Rv)
+
+    @solver_precision
+    def step(self, xhat, P, u, y_next):
+        """Predict through ``u``, correct with the next measurement."""
+        A = jax.jacfwd(self.step_fn, argnums=0)(xhat, u)
+        xpred = self.step_fn(xhat, u)
+        Ppred = A @ P @ A.T + self.Qw
+        C = jax.jacfwd(self.obs_fn)(xpred)
+        S = C @ Ppred @ C.T + self.Rv
+        K = jnp.linalg.solve(S.T, (Ppred @ C.T).T).T
+        xnew = xpred + K @ (y_next - self.obs_fn(xpred))
+        KC = K @ C
+        I = jnp.eye(xhat.shape[0], dtype=P.dtype)
+        Pnew = (I - KC) @ Ppred @ (I - KC).T + K @ self.Rv @ K.T
+        return xnew, Pnew
+
+
+def ekf_trajectory(
+    ekf: ExtendedKalmanFilter,
+    xhat0: jnp.ndarray,
+    P0: jnp.ndarray,
+    us: jnp.ndarray,  # (T, nu) applied inputs
+    ys: jnp.ndarray,  # (T, ny) measurements of x_1..x_T
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """EKF over a trajectory as one scan carrying ``(x̂, P)`` — same contract
+    as :func:`kalman_filter_trajectory`."""
+
+    def step(carry, inp):
+        u, y = inp
+        xnew, Pnew = ekf.step(*carry, u, y)
+        return (xnew, Pnew), (xnew, Pnew)
+
+    _, (xs, Ps) = jax.lax.scan(step, (jnp.asarray(xhat0), jnp.asarray(P0)),
+                               (us, ys))
+    return xs, Ps
+
+
+def ekf_output_feedback_policy(ctrl, ekf: ExtendedKalmanFilter) -> Callable:
+    """Measurement-driven policy for nonlinear controllers: EKF correct →
+    NMPC solve → EKF predict. ``ctrl`` is any controller with the
+    ``policy()``/``initial_carry()`` contract (:class:`..solvers.parking.
+    ILQRMPC`, :class:`..solvers.nmpc_tracking.TrackingNMPC`, ...).
+
+    Carry = ``(x̂_pred, P, mpc_carry)``; build the initial one with
+    :func:`initial_ekf_carry`. ``aux`` adds ``state_estimate``/``cov_trace``.
+    """
+    mpc_policy = ctrl.policy()
+
+    def policy(y, t, carry):
+        xhat_pred, P, mpc_carry = carry
+        # correct with the current measurement (same (predict, correct)
+        # interleaving as output_feedback_policy)
+        C = jax.jacfwd(ekf.obs_fn)(xhat_pred)
+        S = C @ P @ C.T + ekf.Rv
+        K = jnp.linalg.solve(S.T, (P @ C.T).T).T
+        xhat = xhat_pred + K @ (y - ekf.obs_fn(xhat_pred))
+        KC = K @ C
+        I = jnp.eye(xhat.shape[0], dtype=P.dtype)
+        Pcorr = (I - KC) @ P @ (I - KC).T + K @ ekf.Rv @ K.T
+
+        u, mpc_carry, aux = mpc_policy(xhat, t, mpc_carry)
+
+        A = jax.jacfwd(ekf.step_fn, argnums=0)(xhat, u)
+        xnext = ekf.step_fn(xhat, u)
+        Pnext = A @ Pcorr @ A.T + ekf.Qw
+        aux = dict(aux, state_estimate=xhat, cov_trace=jnp.trace(Pcorr))
+        return u, (xnext, Pnext, mpc_carry), aux
+
+    return policy
+
+
+def initial_ekf_carry(ctrl, xhat0, P0, dtype=jnp.float32):
+    return (
+        jnp.asarray(xhat0, dtype),
+        jnp.asarray(P0, dtype),
+        ctrl.initial_carry(dtype),
+    )
