@@ -69,8 +69,12 @@ from .solvers.implicit import (
     stagewise_ip_solve_implicit,
 )
 from .estimation import (
+    ExtendedKalmanFilter,
     KalmanFilter,
     MHE,
+    ekf_output_feedback_policy,
+    ekf_trajectory,
+    initial_ekf_carry,
     initial_output_feedback_carry,
     kalman_filter_trajectory,
     kalman_gain,
@@ -92,12 +96,23 @@ from .solvers.ilqr import (
     ilqr_solve,
 )
 from .solvers.parking import make_parking_ocp, make_parking_ilqr, NonlinearMPC
+from .solvers.nmpc_tracking import TrackingNMPC
 from .solvers.linear_mpc import (
     Problem,
     LinearMPC,
     make_linear_mpc,
     session2_problem,
     session3_problem,
+)
+from .solvers.tube import (
+    TubeMPC,
+    make_tube_mpc,
+    mrpi_box_margins,
+)
+from .solvers.stochastic import (
+    StochasticMPC,
+    gaussian_stage_margins,
+    make_stochastic_mpc,
 )
 from .solvers.rate_mpc import (
     RateCondensedQP,

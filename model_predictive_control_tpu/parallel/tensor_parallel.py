@@ -39,7 +39,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..solvers.qp import QPOperator, QPSolution, _polish, _unscaled_residuals
 from ..utils.precision import solver_precision
@@ -132,7 +132,7 @@ def admm_solve_tp(
         in_specs=(spec_rep_model, spec_rep_model, spec_rows, spec_rows,
                   spec_rows, spec_A),
         out_specs=(spec_rep_model, spec_rows, spec_rows),
-        check_rep=False,
+        check_vma=False,
     )(q_s, x0, y0, l_s, u_s, op.A_s)
 
     # unscale + (optional) full-row polish outside the sharded region
