@@ -114,6 +114,10 @@ from .solvers.stochastic import (
     gaussian_stage_margins,
     make_stochastic_mpc,
 )
+from .solvers.offset_free import (
+    OffsetFreeMPC,
+    make_offset_free_mpc,
+)
 from .solvers.rate_mpc import (
     RateCondensedQP,
     RateLimitedMPC,
