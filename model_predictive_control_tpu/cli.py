@@ -121,6 +121,14 @@ def main(argv=None) -> int:
     )
     _add_common(pr)
 
+    pb = sub.add_parser(
+        "robust", help="nominal vs tube vs stochastic vs offset-free demo"
+    )
+    pb.add_argument("--batch", type=int, default=64)
+    pb.add_argument("--steps", type=int, default=50)
+    pb.add_argument("--seed", type=int, default=0)
+    _add_common(pb)
+
     pp = sub.add_parser("podscale", help="batched closed-loop throughput")
     pp.add_argument("--batch", type=int, default=4096)
     pp.add_argument("--steps", type=int, default=50)
@@ -196,6 +204,13 @@ def main(argv=None) -> int:
             steps=args.steps,
             meas_sigma=args.meas_sigma,
             seed=args.seed,
+        )
+    elif args.cmd == "robust":
+        from .experiments import robust_demo
+
+        _res, summary = robust_demo.run(
+            batch=args.batch, steps=args.steps, seed=args.seed,
+            outdir=args.outdir,
         )
     elif args.cmd == "race":
         from .experiments import racing

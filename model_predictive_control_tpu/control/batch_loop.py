@@ -34,24 +34,32 @@ def simulate_batch(
     policy: BatchedPolicy,
     policy_carry: Any = (),
     batched_dynamics: bool = False,
+    disturbances: jnp.ndarray | None = None,
 ) -> BatchSimResult:
     """Roll a batch of plants forward under a batch-level policy.
 
     ``batched_dynamics=True`` means ``dynamics`` already maps (B, nx) × (B, nu) →
     (B, nx) — e.g. a plant whose parameters carry a scenario axis (the pod-scale
     parameter-perturbation sweeps); otherwise it is vmapped here.
+
+    ``disturbances``: optional ``(steps, B, nx)`` additive process disturbances
+    (per-step, per-realization) — the batch twin of
+    :func:`..control.simulate.simulate`'s robust-MPC axis.
     """
     x0 = jnp.asarray(x0)
     dyn_b = dynamics if batched_dynamics else jax.vmap(dynamics)
 
-    def step(carry, t):
+    def step(carry, scanned):
+        t, w = scanned
         x, pcarry = carry
         u, pcarry, aux = policy(x, t, pcarry)
         x_next = dyn_b(x, u)
+        if w is not None:
+            x_next = x_next + w
         return (x_next, pcarry), (x_next, u, aux)
 
     (_, final_carry), (xs, us, logs) = jax.lax.scan(
-        step, (x0, policy_carry), jnp.arange(steps)
+        step, (x0, policy_carry), (jnp.arange(steps), disturbances)
     )
     states = jnp.concatenate([x0[None], xs], axis=0)
     return BatchSimResult(

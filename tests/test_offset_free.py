@@ -123,3 +123,22 @@ def test_singular_target_system_raises():
     problem = mpc.session2_problem(N=8)
     with pytest.raises(ValueError, match="tracked outputs"):
         make_offset_free_mpc(problem, r=np.zeros(2), H=np.eye(2))
+
+
+@pytest.mark.slow
+def test_robust_demo_cli(tmp_path, capsys):
+    """The robust demo's three comparisons all land on the right side."""
+    from model_predictive_control_tpu.cli import main
+
+    main(["robust", "--batch", "24", "--steps", "40", "--outdir", str(tmp_path)])
+    import json
+
+    out = capsys.readouterr().out
+    s = json.loads(out.strip().splitlines()[-1])
+    assert s["bounded.tube_violation_frac"] == 0.0
+    assert s["bounded.nominal_violation_frac"] > 0.5
+    assert s["gaussian.stochastic_violation_rate"] <= s["gaussian.eps"] + 0.03
+    assert s["gaussian.nominal_violation_rate"] > 0.3
+    assert s["bias.offset_free_offset"] < 1e-3 < s["bias.nominal_offset"]
+    assert (tmp_path / "robust_bounded.png").exists()
+    assert (tmp_path / "robust_bias.png").exists()
