@@ -8,6 +8,11 @@ optionally writing plots/metrics to ``--outdir``:
   session1             LQR horizon sweep + cost-to-go convergence
   session2 / session3  constrained / relaxed-tracking linear MPC closed loop
   session4             nonlinear parking MPC (``--variant main|sol``)
+  sweep                perturbed-plant nonlinear robustness sweep
+  tune                 gradient-based MPC weight tuning (differentiable layer)
+  estimate             output-feedback MPC on noisy measurements (KF)
+  race                 dynamic-bicycle (Pacejka) lap tracking via NMPC
+  robust               nominal vs tube vs stochastic vs offset-free demo
   podscale             batched closed-loop throughput over the device mesh
 """
 
