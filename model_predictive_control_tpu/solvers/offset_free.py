@@ -32,17 +32,17 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..utils.pytree import pytree_dataclass, static_field
-
-
-def jax_x64_enabled() -> bool:
-    import jax
-
-    return bool(jax.config.read("jax_enable_x64"))
+from ..utils.pytree import pytree_dataclass
 from ..control.simulate import Policy
 from ..models.linear import LinearSystem
 from .linear_mpc import LinearMPC, Problem, make_linear_mpc
 from .qp import admm_solve
+
+
+def _x64_enabled() -> bool:
+    import jax
+
+    return bool(jax.config.read("jax_enable_x64"))
 
 
 @pytree_dataclass
@@ -184,7 +184,7 @@ def make_offset_free_mpc(
     C_aug = np.concatenate([C, Cd], axis=1)
     # float64 where available (tests/CPU); on TPU x64 is unsupported and f32
     # is ample for this 3×3 observer DARE (verified on chip: d̂ exact).
-    f = jnp.float64 if jax_x64_enabled() else jnp.float32
+    f = jnp.float64 if _x64_enabled() else jnp.float32
     aug = LinearSystem(
         A=jnp.asarray(A_aug, dtype=f),
         B=jnp.asarray(B_aug, dtype=f),
