@@ -139,3 +139,23 @@ class TestMonteCarlo:
         res_s = self._run_batch(ctrl, jax.random.PRNGKey(0))
         rate_s, viol_s = self._rates(res_s, problem)
         assert viol_s.mean() < viol_n.mean() / 3.0
+
+
+def test_batched_xla_path_matches_scalar_path():
+    """The tightened QP rides the batch machinery unchanged: the batched
+    (vmapped XLA) policy must produce the scalar policy's inputs exactly."""
+    problem = mpc.session2_problem(N=8)
+    ctrl = make_stochastic_mpc(
+        problem, SIGMA_W, eps=0.1, iters=200, dtype=jnp.float64
+    )
+    x0s = jnp.asarray(
+        [[-100.0, 20.0], [-30.0, 5.0], [-5.0, -2.0], [0.5, 0.0]], jnp.float64
+    )
+    bp = ctrl.batched_policy(backend="xla")
+    u_b, _, aux_b = bp(x0s, 0, ctrl.inner.initial_batch_carry(4, jnp.float64))
+    for i in range(4):
+        u_traj, _ = ctrl.inner.solve(x0s[i])
+        np.testing.assert_allclose(
+            np.asarray(u_b[i]), np.asarray(u_traj[0]), atol=1e-10
+        )
+    assert bool(aux_b["solver_success"].all())
