@@ -144,6 +144,14 @@ def main() -> None:
     if "--diagnose" in sys.argv:
         diagnose(success, x0s)
 
+    # roofline accounting (VERDICT r2 item 3): achieved GFLOP/s and fraction of
+    # the relevant hardware peak, from the analytic kernel work model
+    from model_predictive_control_tpu.obs.roofline import admm_kernel_roofline
+
+    roof = admm_kernel_roofline(
+        n=HORIZON, m=3 * HORIZON, iters=ADMM_ITERS, chunks=2
+    ).achieved(solves_per_s)
+
     print(
         json.dumps(
             {
@@ -156,6 +164,9 @@ def main() -> None:
                 "admm_iters": ADMM_ITERS,
                 "success_rate": round(success_rate, 4),
                 "wall_s": round(dt, 3),
+                "achieved_gflops": roof["achieved_gflops"],
+                "frac_of_peak": roof["frac_of_peak"],
+                "roofline": roof,
             }
         )
     )

@@ -98,8 +98,11 @@ from .solvers.ilqr import (
 from .solvers.parking import make_parking_ocp, make_parking_ilqr, NonlinearMPC
 from .solvers.nmpc_tracking import TrackingNMPC
 from .solvers.linear_mpc import (
+    BoxProblem,
     Problem,
     LinearMPC,
+    as_box_problem,
+    make_box_mpc,
     make_linear_mpc,
     session2_problem,
     session3_problem,

@@ -10,10 +10,13 @@ MPC (:class:`...solvers.nmpc_tracking.TrackingNMPC`), with the kinematic tier
 (``exercise``-grade model) available for comparison.
 
 Plant/prediction split mirrors the reference's mismatch methodology
-(``session4_sol.py:443-488``): the MPC predicts with forward-Euler (the
-reference's prediction tier, ``main.py:76``) while the plant integrates with
-RK4 — so the tracking numbers include realistic model error, not a
-self-fulfilling Euler-vs-Euler loop.
+(``session4_sol.py:443-488``): prediction and plant use different integration
+tiers, so the tracking numbers include realistic model error, not a
+self-fulfilling same-model loop. Kinematic tier: Euler prediction (the
+reference's tier, ``main.py:76``) vs RK4 plant. Dynamic tier: 4-substep RK4
+prediction vs 16-substep RK4 plant — Euler prediction is unstable on the stiff
+Pacejka yaw mode at this scale (see the inline analysis in
+:func:`make_racing_mpc`).
 """
 
 from __future__ import annotations
@@ -146,7 +149,9 @@ def run(
     dtype=jnp.float32,
     outdir=None,
 ):
-    """Closed-loop lap: Euler-prediction MPC vs RK4 plant. Returns a summary."""
+    """Closed-loop lap with a prediction/plant integration mismatch (dynamic:
+    4-substep-RK4 MPC vs 16-substep-RK4 plant; kinematic: Euler MPC vs RK4
+    plant). Returns ``(SimResult, summary)``."""
     params = VehicleParameters()
     ctrl, ref = make_racing_mpc(
         params, N=N, ts=ts, steps=steps, dynamic=dynamic,

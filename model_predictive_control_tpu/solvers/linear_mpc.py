@@ -70,6 +70,92 @@ def session3_problem(N: int = 5) -> Problem:
     return Problem(p_min=-120.0, v_min=-50.0, N=N)
 
 
+import dataclasses as _dataclasses
+
+import numpy as _np
+
+
+@_dataclasses.dataclass(frozen=True)
+class BoxProblem:
+    """General box-constrained linear-MPC problem data: arbitrary ``(A, B)``,
+    full weight matrices, and elementwise state/input boxes.
+
+    The engine-grade generalization of the session-2 :class:`Problem` (which
+    hard-codes the course's double integrator, ``session_2/problem.py:22-24``):
+    every controller constructor in this package — nominal
+    (:func:`make_box_mpc`), tube, stochastic, offset-free — accepts either.
+    Host-side build-time data (float64 numpy), not a traced pytree; the
+    builders convert to device arrays at the requested dtype.
+    """
+
+    A: _np.ndarray  # (nx, nx)
+    B: _np.ndarray  # (nx, nu)
+    Q: _np.ndarray  # (nx, nx) stage state weight (full matrix)
+    R: _np.ndarray  # (nu, nu) input weight
+    x_min: _np.ndarray  # (nx,)
+    x_max: _np.ndarray
+    u_min: _np.ndarray  # (nu,)
+    u_max: _np.ndarray
+    N: int = 5
+
+    def __post_init__(self):
+        def arr(v):
+            return _np.asarray(v, dtype=_np.float64)
+
+        A, B = arr(self.A), arr(self.B)
+        Q, R = arr(self.Q), arr(self.R)
+        if Q.ndim == 1:
+            Q = _np.diag(Q)
+        if R.ndim == 1:
+            R = _np.diag(R)
+        nx, nu = B.shape
+        object.__setattr__(self, "A", A)
+        object.__setattr__(self, "B", B)
+        object.__setattr__(self, "Q", Q)
+        object.__setattr__(self, "R", R)
+        object.__setattr__(self, "x_min", _np.broadcast_to(arr(self.x_min), (nx,)).copy())
+        object.__setattr__(self, "x_max", _np.broadcast_to(arr(self.x_max), (nx,)).copy())
+        object.__setattr__(self, "u_min", _np.broadcast_to(arr(self.u_min), (nu,)).copy())
+        object.__setattr__(self, "u_max", _np.broadcast_to(arr(self.u_max), (nu,)).copy())
+        if A.shape != (nx, nx) or Q.shape != (nx, nx) or R.shape != (nu, nu):
+            raise ValueError(
+                f"inconsistent shapes: A {A.shape}, B {B.shape}, Q {Q.shape}, "
+                f"R {R.shape}"
+            )
+
+    def system(self, dtype=jnp.float32) -> LinearSystem:
+        return LinearSystem(
+            A=jnp.asarray(self.A, dtype=dtype), B=jnp.asarray(self.B, dtype=dtype)
+        )
+
+    @property
+    def n_state(self) -> int:
+        return self.B.shape[0]
+
+    @property
+    def n_input(self) -> int:
+        return self.B.shape[1]
+
+
+def as_box_problem(problem) -> BoxProblem:
+    """Normalize a session :class:`Problem` (or pass through a
+    :class:`BoxProblem`) to the general box form."""
+    if isinstance(problem, BoxProblem):
+        return problem
+    Ts = problem.Ts
+    return BoxProblem(
+        A=_np.array([[1.0, Ts], [0.0, 1.0]]),
+        B=_np.array([[0.0], [Ts]]),
+        Q=_np.diag(_np.asarray(problem.Q, dtype=_np.float64)),
+        R=_np.diag(_np.asarray(problem.R, dtype=_np.float64)),
+        x_min=_np.array([problem.p_min, problem.v_min]),
+        x_max=_np.array([problem.p_max, problem.v_max]),
+        u_min=_np.array([problem.u_min]),
+        u_max=_np.array([problem.u_max]),
+        N=problem.N,
+    )
+
+
 @pytree_dataclass
 class LinearMPC:
     """Receding-horizon linear MPC controller over a condensed box-QP.
@@ -349,8 +435,8 @@ class LinearMPC:
         return (sol.x, sol.y)
 
 
-def make_linear_mpc(
-    problem: Problem,
+def make_box_mpc(
+    box: BoxProblem,
     solver: str = "admm",
     iters: int = 200,
     dtype=jnp.float32,
@@ -362,7 +448,7 @@ def make_linear_mpc(
     slack_linear: float = 1.0,
     terminal_set: bool = False,
 ) -> LinearMPC:
-    """Build a :class:`LinearMPC` from session-2/3 problem data.
+    """Build a :class:`LinearMPC` from general :class:`BoxProblem` data.
 
     ``terminal``: "Q" uses QN = Q (plain), "dare" uses the infinite-horizon Riccati
     solution as terminal cost (the session-3 "terminal cost/set" upgrade, giving
@@ -381,14 +467,15 @@ def make_linear_mpc(
     problem has no solution — the principled form of session 3's hand-relaxed
     bounds (``session_3/problem.py:15,17``).
     """
-    sys = problem.system(dtype)
-    Q = jnp.diag(jnp.asarray(problem.Q, dtype=dtype))
-    R = jnp.diag(jnp.asarray(problem.R, dtype=dtype))
+    box = as_box_problem(box)
+    sys = box.system(dtype)
+    Q = jnp.asarray(box.Q, dtype=dtype)
+    R = jnp.asarray(box.R, dtype=dtype)
 
-    u_min = jnp.asarray([problem.u_min], dtype=dtype)
-    u_max = jnp.asarray([problem.u_max], dtype=dtype)
-    x_min = jnp.asarray([problem.p_min, problem.v_min], dtype=dtype)
-    x_max = jnp.asarray([problem.p_max, problem.v_max], dtype=dtype)
+    u_min = jnp.asarray(box.u_min, dtype=dtype)
+    u_max = jnp.asarray(box.u_max, dtype=dtype)
+    x_min = jnp.asarray(box.x_min, dtype=dtype)
+    x_max = jnp.asarray(box.x_max, dtype=dtype)
 
     terminal_P = None
     x_term_min = x_term_max = None
@@ -416,7 +503,7 @@ def make_linear_mpc(
         Q,
         R,
         QN,
-        problem.N,
+        box.N,
         u_min=u_min,
         u_max=u_max,
         x_min=x_min,
@@ -438,3 +525,9 @@ def make_linear_mpc(
         iters=iters,
         soft=soft_state,
     )
+
+
+def make_linear_mpc(problem, **kwargs) -> LinearMPC:
+    """Build a :class:`LinearMPC` from session-2/3 :class:`Problem` data or a
+    general :class:`BoxProblem`. See :func:`make_box_mpc` for the options."""
+    return make_box_mpc(as_box_problem(problem), **kwargs)

@@ -35,8 +35,14 @@ import jax.numpy as jnp
 from ..utils.pytree import pytree_dataclass
 from ..control.simulate import Policy
 from ..models.linear import LinearSystem
-from .linear_mpc import LinearMPC, Problem, make_linear_mpc
-from .qp import admm_solve
+from .linear_mpc import (
+    BoxProblem,
+    LinearMPC,
+    Problem,
+    as_box_problem,
+    make_box_mpc,
+)
+from .qp import admm_solve, pdip_solve
 
 
 def _x64_enabled() -> bool:
@@ -69,15 +75,29 @@ class OffsetFreeMPC:
         nx = self.system.A.shape[0]
         return t[:nx], t[nx:]
 
-    def solve_deviation(self, dx0, x_s, u_s, warm=None):
-        """Deviation-variable QP: same operator, bounds shifted by the target."""
-        qp, op = self.inner.qp, self.inner.op
+    def _deviation_vectors(self, dx0, x_s, u_s):
+        qp = self.inner.qp
         q, l, u = qp.qp_vectors(dx0)
-        N, nu, nx = qp.N, qp.nu, qp.nx
-        shift = jnp.concatenate([jnp.tile(u_s, N), jnp.tile(x_s, N)])
-        sol = admm_solve(
-            op, q, l - shift, u - shift, iters=self.inner.iters, warm=warm
+        shift = jnp.concatenate(
+            [jnp.tile(u_s, qp.N), jnp.tile(x_s, qp.N)]
         )
+        return q, l - shift, u - shift
+
+    def solve_deviation(self, dx0, x_s, u_s, warm=None):
+        """Deviation-variable QP: same operator, bounds shifted by the target.
+
+        Dispatches on ``self.inner.solver`` (``"admm"`` / ``"pdip"``), matching
+        :meth:`.linear_mpc.LinearMPC.solve`.
+        """
+        qp, op = self.inner.qp, self.inner.op
+        q, l, u = self._deviation_vectors(dx0, x_s, u_s)
+        if self.inner.solver == "admm":
+            sol = admm_solve(op, q, l, u, iters=self.inner.iters, warm=warm)
+        elif self.inner.solver == "pdip":
+            sol = pdip_solve(op, q, l, u, iters=self.inner.iters)
+        else:
+            raise ValueError(f"unknown solver {self.inner.solver!r}")
+        N, nu = qp.N, qp.nu
         return sol.x[: N * nu].reshape(N, nu), sol
 
     def policy(self) -> Policy:
@@ -123,9 +143,80 @@ class OffsetFreeMPC:
             self.inner.initial_carry(dtype),
         )
 
+    def batched_policy(
+        self, backend: str = "pallas", tile: int = 256, chunks: int = 2,
+        max_rho_moves: int | None = None, schedule: str = "uniform",
+        alpha: float = 1.6,
+    ):
+        """Batch-level offset-free policy for
+        :func:`~..control.batch_loop.simulate_batch`: the observer/target
+        updates are batched matvecs, the deviation QP rides the fused Pallas
+        ADMM kernel (``backend="pallas"``) or the vmapped scalar solver
+        (``backend="xla"``). Consumes MEASUREMENT batches ``y (B, ny)``; carry
+        from :meth:`initial_batch_carry`.
+        """
+        import jax
+
+        A, B, C = self.system.A, self.system.B, self.system.C
+        Bd, Cd, L = self.Bd, self.Cd, self.L
+        nx = A.shape[0]
+        qp, op = self.inner.qp, self.inner.op
+        N, nu = qp.N, qp.nu
+
+        def policy_fn(y_batch, t, carry):
+            x_hat, d_hat, (warm_x, warm_y) = carry
+            innov = y_batch - (x_hat @ C.T + d_hat @ Cd.T)
+            corr = innov @ L.T
+            x_hat = x_hat + corr[:, :nx]
+            d_hat = d_hat + corr[:, nx:]
+
+            targets = d_hat @ self.T_d.T + self.r @ self.T_r.T
+            x_s, u_s = targets[:, :nx], targets[:, nx:]
+            q, l, u = jax.vmap(self._deviation_vectors)(x_hat - x_s, x_s, u_s)
+            if backend == "pallas":
+                from ..ops.pallas.admm_kernel import admm_solve_pallas
+
+                sol = admm_solve_pallas(
+                    op, q, l, u, warm_x, warm_y, iters=self.inner.iters,
+                    chunks=chunks, max_rho_moves=max_rho_moves,
+                    schedule=schedule, tile=tile, alpha=alpha,
+                )
+            elif backend == "xla":
+                sol = jax.vmap(
+                    lambda qq, ll, uu, wx, wy: admm_solve(
+                        op, qq, ll, uu, iters=self.inner.iters, warm=(wx, wy)
+                    )
+                )(q, l, u, warm_x, warm_y)
+            else:
+                raise ValueError(f"unknown backend {backend!r}")
+            u_apply = sol.x[:, :nu] + u_s
+            x_warm, y_warm = self.inner._shift_warm(sol.x, sol.y, axis=1)
+            x_next = x_hat @ A.T + u_apply @ B.T + d_hat @ Bd.T
+            aux = {
+                "solver_success": sol.converged,
+                "prim_res": sol.prim_res,
+                "dual_res": sol.dual_res,
+                "disturbance_estimate": d_hat,
+                "target_state": x_s,
+                "target_input": u_s,
+            }
+            return u_apply, (x_next, d_hat, (x_warm, y_warm)), aux
+
+        return policy_fn
+
+    def initial_batch_carry(self, xhat0_batch, dtype=jnp.float32):
+        xhat0_batch = jnp.asarray(xhat0_batch, dtype)
+        B = xhat0_batch.shape[0]
+        nd = self.Bd.shape[1]
+        return (
+            xhat0_batch,
+            jnp.zeros((B, nd), dtype),
+            self.inner.initial_batch_carry(B, dtype=dtype),
+        )
+
 
 def make_offset_free_mpc(
-    problem: Problem,
+    problem: Problem | BoxProblem,
     r,
     H=None,
     C=None,
@@ -139,9 +230,12 @@ def make_offset_free_mpc(
     dtype=jnp.float32,
     rho: float = 0.1,
 ) -> OffsetFreeMPC:
-    """Build an offset-free MPC from session-2/3 problem data.
+    """Build an offset-free MPC from session-2/3 :class:`Problem` data or any
+    general :class:`BoxProblem` (the observer/target machinery is
+    dimension-generic).
 
-    ``r``: reference for the tracked outputs ``H C x`` (default: position).
+    ``r``: reference for the tracked outputs ``H C x`` (default ``H``: the
+    first ``nd`` measured outputs — position for the session plant).
     ``C``: measurement matrix (default: identity — full-state measurement
     still needs the observer, because ``d`` is never measured).
     ``Bd``/``Cd``: disturbance model (default: input disturbance ``Bd = B``,
@@ -149,15 +243,15 @@ def make_offset_free_mpc(
     ``Qd_scale`` sets how aggressively the observer attributes innovation to
     the disturbance (the integral-action bandwidth).
     """
-    A = np.array([[1.0, problem.Ts], [0.0, 1.0]])
-    B = np.array([[0.0], [problem.Ts]])
+    box = as_box_problem(problem)
+    A, B = box.A, box.B
     nx, nu = B.shape
     C = np.eye(nx) if C is None else np.asarray(C, dtype=np.float64)
     ny = C.shape[0]
     Bd = B.copy() if Bd is None else np.asarray(Bd, dtype=np.float64)
     nd = Bd.shape[1]
     Cd = np.zeros((ny, nd)) if Cd is None else np.asarray(Cd, np.float64)
-    H = np.array([[1.0, 0.0]]) if H is None else np.asarray(H, np.float64)
+    H = np.eye(ny)[:nd] if H is None else np.asarray(H, np.float64)
     nr = H.shape[0]
     if nr != nd:
         raise ValueError(
@@ -175,6 +269,18 @@ def make_offset_free_mpc(
     T_inv = np.linalg.pinv(T)
     T_d = T_inv @ rhs_d
     T_r = T_inv @ rhs_r
+    # achievability: with nr > nu the pinv returns least-squares targets whose
+    # steady-state output quietly misses r — refuse instead of drifting
+    res = max(
+        float(np.abs(T @ T_d - rhs_d).max()),
+        float(np.abs(T @ T_r - rhs_r).max()),
+    )
+    if res > 1e-8:
+        raise ValueError(
+            f"target system overdetermined (residual {res:.2e}): with "
+            f"{nr} tracked outputs and {nu} inputs the references are not "
+            "achievable — offset-free tracking needs nr <= nu in general"
+        )
 
     # augmented steady-state Kalman observer via the estimation layer
     from ..estimation import kalman_gain
@@ -200,8 +306,8 @@ def make_offset_free_mpc(
         aug, jnp.asarray(Qw, f), jnp.asarray(Rv_scale * np.eye(ny), f)
     )
 
-    inner = make_linear_mpc(
-        problem, solver=solver, iters=iters, dtype=dtype, terminal="dare",
+    inner = make_box_mpc(
+        box, solver=solver, iters=iters, dtype=dtype, terminal="dare",
         rho=rho,
     )
     return OffsetFreeMPC(

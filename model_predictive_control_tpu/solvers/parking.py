@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..models.bicycle import NU, NX, kinematic_bicycle_ode
 from ..models.parameters import VehicleParameters
-from ..ops.integrators import euler
+from ..ops.integrators import euler, rk4
 from ..utils.geometry import (
     cover_circle_offsets,
     pairwise_sq_distances,
@@ -40,6 +40,17 @@ QN_SCALE_MAIN = 100.0
 # session4_sol.py:166-169
 Q_SOL = (1.0, 3.0, 0.1, 0.01)
 QN_SCALE_SOL = 10.0
+# template.py:136 (the RK4-prediction template variant)
+QN_SCALE_TEMPLATE = 5.0
+
+
+def _prediction_step(params, ts, integrator: str):
+    ode = lambda x, u: kinematic_bicycle_ode(params, x, u)
+    if integrator == "euler":
+        return euler(ode, ts)
+    if integrator == "rk4":
+        return rk4(ode, ts)
+    raise ValueError(f"unknown integrator {integrator!r} (euler|rk4)")
 
 
 def make_parking_ocp(
@@ -52,8 +63,15 @@ def make_parking_ocp(
     qn_scale: float = QN_SCALE_MAIN,
     n_circles: int = 3,
     dtype=jnp.float32,
+    integrator: str = "euler",
 ) -> ShootingOCP:
-    """Build the single-shooting parking OCP as residual/constraint closures."""
+    """Build the single-shooting parking OCP as residual/constraint closures.
+
+    ``integrator``: prediction model discretization — ``"euler"`` (the
+    main/sol variants, ``main.py:76``, ``session4_sol.py:191-192``) or
+    ``"rk4"`` (the template variant, ``template.py:141``; its state-order
+    bounds bug, ``template.py:132-133``, is deliberately not reproduced).
+    """
     Qd = jnp.asarray(Q, dtype=dtype)
     Rd = jnp.asarray(R, dtype=dtype)
     QNd = qn_scale * Qd
@@ -61,7 +79,7 @@ def make_parking_ocp(
     sqQN = jnp.sqrt(QNd)
     sqR = jnp.sqrt(Rd)
 
-    step = euler(lambda x, u: kinematic_bicycle_ode(params, x, u), ts)
+    step = _prediction_step(params, ts, integrator)
 
     def rollout_states(u_flat, x0):
         u_seq = u_flat.reshape(N, NU)
@@ -149,12 +167,14 @@ def make_parking_ilqr(
     qn_scale: float = QN_SCALE_MAIN,
     n_circles: int = 3,
     dtype=jnp.float32,
+    integrator: str = "euler",
 ):
     """Session-4 parking OCP in iLQR form: ``(ILQRProblem, constraints, nc)``.
 
     Same model/cost/constraint semantics as :func:`make_parking_ocp` (see its
-    docstring for the reference citations), expressed stagewise for the DDP-family
-    solver (:mod:`..solvers.ilqr`): constraints are ``c(x, u, t) ≤ 0`` rows —
+    docstring for the reference citations, including the ``integrator``
+    option), expressed stagewise for the DDP-family solver
+    (:mod:`..solvers.ilqr`): constraints are ``c(x, u, t) ≤ 0`` rows —
     state box (8), input box (4), and ``(r+r_p)² − ‖c_v − c_o‖²`` clearances
     (``n_circles²``) when an obstacle is present.
     """
@@ -163,7 +183,7 @@ def make_parking_ilqr(
     Qd = jnp.asarray(Q, dtype=dtype)
     Rd = jnp.asarray(R, dtype=dtype)
     QNd = qn_scale * Qd
-    step = euler(lambda x, u: kinematic_bicycle_ode(params, x, u), ts)
+    step = _prediction_step(params, ts, integrator)
 
     lb_x = jnp.asarray(
         [params.min_pos_x, params.min_pos_y, params.min_heading, params.min_vel],

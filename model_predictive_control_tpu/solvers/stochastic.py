@@ -35,7 +35,13 @@ import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass, replace, static_field
 from ..control.simulate import Policy
-from .linear_mpc import LinearMPC, Problem, make_linear_mpc
+from .linear_mpc import (
+    BoxProblem,
+    LinearMPC,
+    Problem,
+    as_box_problem,
+    make_box_mpc,
+)
 from .tube import _np_dare
 
 
@@ -55,7 +61,8 @@ def gaussian_stage_margins(
     """
     if not (0.0 < eps < 0.5):
         raise ValueError(f"eps must be in (0, 0.5), got {eps}")
-    # Φ⁻¹(1−ε) via the complementary error function (scipy-free, float64)
+    # Φ⁻¹(1−ε) = √2 · erfinv(1 − 2ε), evaluated in float64 via scipy.special
+    # (scipy is a declared dependency; this runs host-side at build time only)
     from math import sqrt
 
     from scipy.special import erfinv
@@ -111,7 +118,7 @@ class StochasticMPC:
 
 
 def make_stochastic_mpc(
-    problem: Problem,
+    problem: Problem | BoxProblem,
     Sigma_w,
     eps: float = 0.05,
     solver: str = "admm",
@@ -120,17 +127,16 @@ def make_stochastic_mpc(
     terminal: str = "dare",
     rho: float = 0.1,
 ) -> StochasticMPC:
-    """Build a chance-constrained MPC from session-2/3 problem data.
+    """Build a chance-constrained MPC from session-2/3 :class:`Problem` data
+    or any general :class:`BoxProblem` (the Σ-propagation is dimension-generic).
 
     ``Sigma_w``: process-noise covariance (nx × nx, or a length-nx diagonal).
     ``eps``: per-constraint violation probability (e.g. 0.05 → 95% bounds).
     Raises ``ValueError`` when the stationary tightening empties a box.
     """
-    Ts = problem.Ts
-    A = np.array([[1.0, Ts], [0.0, 1.0]])
-    B = np.array([[0.0], [Ts]])
-    Q = np.diag(np.asarray(problem.Q, dtype=np.float64))
-    R = np.diag(np.asarray(problem.R, dtype=np.float64))
+    box = as_box_problem(problem)
+    A, B = box.A, box.B
+    Q, R = box.Q, box.R
     P = _np_dare(A, B, Q, R)
     BtP = B.T @ P
     K = -np.linalg.solve(R + BtP @ B, BtP @ A)
@@ -139,22 +145,19 @@ def make_stochastic_mpc(
     if Sigma_w.ndim == 1:
         Sigma_w = np.diag(Sigma_w)
     state_m, input_m, beta = gaussian_stage_margins(
-        A, B, K, Sigma_w, problem.N, eps
+        A, B, K, Sigma_w, box.N, eps
     )
 
-    x_lo = np.array([problem.p_min, problem.v_min])
-    x_hi = np.array([problem.p_max, problem.v_max])
-    u_lo, u_hi = np.array([problem.u_min]), np.array([problem.u_max])
-    if np.any(x_lo + state_m.max(0) >= x_hi - state_m.max(0)) or np.any(
-        u_lo + input_m.max(0) >= u_hi - input_m.max(0)
+    if np.any(box.x_min + state_m.max(0) >= box.x_max - state_m.max(0)) or np.any(
+        box.u_min + input_m.max(0) >= box.u_max - input_m.max(0)
     ):
         raise ValueError(
             f"chance tightening empties a constraint box: state margins up to "
             f"{state_m.max(0)}, input up to {input_m.max(0)} at eps={eps}"
         )
 
-    inner = make_linear_mpc(
-        problem, solver=solver, iters=iters, dtype=dtype, terminal=terminal,
+    inner = make_box_mpc(
+        box, solver=solver, iters=iters, dtype=dtype, terminal=terminal,
         rho=rho,
     )
     # drop the per-stage tightenings into the stacked bound vectors (the QP

@@ -42,7 +42,13 @@ import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass, static_field
 from ..control.simulate import Policy
-from .linear_mpc import LinearMPC, Problem, make_linear_mpc
+from .linear_mpc import (
+    BoxProblem,
+    LinearMPC,
+    Problem,
+    as_box_problem,
+    make_box_mpc,
+)
 
 
 def _np_dare(A: np.ndarray, B: np.ndarray, Q: np.ndarray, R: np.ndarray,
@@ -155,9 +161,44 @@ class TubeMPC:
 
         return policy_fn
 
+    def batched_policy(self, **kw):
+        """Batch-level tube policy for
+        :func:`~..control.batch_loop.simulate_batch` — the nominal tightened
+        solve rides :meth:`.linear_mpc.LinearMPC.batched_policy` (fused Pallas
+        ADMM by default), the tube correction is two batched matvecs.
+
+        Carry = ``(z_batch (B, nx), inner warm-start)``; build it with
+        :meth:`initial_batch_carry`.
+        """
+        inner_fn = self.inner.batched_policy(**kw)
+
+        def policy_fn(x_batch, t, carry):
+            z, inner_carry = carry
+            v0, inner_carry, aux = inner_fn(z, t, inner_carry)
+            e = x_batch - z
+            u = v0 + e @ self.K.T
+            z_next = z @ self.A.T + v0 @ self.B.T
+            aux = dict(
+                aux,
+                nominal=z,
+                error=e,
+                tube_ok=jnp.all(jnp.abs(e) <= self.z_margin * 1.0000001, axis=-1),
+            )
+            return u, (z_next, inner_carry), aux
+
+        return policy_fn
+
+    def initial_batch_carry(self, x0_batch, dtype=jnp.float32):
+        """Anchor each scenario's nominal trajectory at its measured x0."""
+        x0_batch = jnp.asarray(x0_batch, dtype)
+        return (
+            x0_batch,
+            self.inner.initial_batch_carry(x0_batch.shape[0], dtype=dtype),
+        )
+
 
 def make_tube_mpc(
-    problem: Problem,
+    problem: Problem | BoxProblem,
     w_half,
     solver: str = "admm",
     iters: int = 200,
@@ -165,18 +206,26 @@ def make_tube_mpc(
     terminal: str = "dare",
     alpha_max: float = 0.5,
     rho: float = 0.1,
+    terminal_set: bool = False,
 ) -> TubeMPC:
-    """Build a rigid-tube robust MPC from session-2/3 problem data.
+    """Build a rigid-tube robust MPC from session-2/3 :class:`Problem` data or
+    any general :class:`BoxProblem` (arbitrary ``(A, B)``, boxes of any
+    dimension — the mRPI / support machinery is dimension-generic).
 
     ``w_half``: elementwise half-widths of the box disturbance set on the state
     update (``|w| ≤ w_half``). Raises ``ValueError`` when the tube does not fit
     inside the constraint boxes (disturbance too large for the problem).
+
+    ``terminal_set=True`` adds the tightened terminal-set constraint on the
+    nominal ``z_N`` (the certified LQR-invariant inner box of the *tightened*
+    problem, :func:`.lqr.lqr_terminal_set`), completing the Mayne–Seron–Raković
+    recursive-feasibility argument. Default ``False`` keeps the DARE terminal
+    cost only: per-step constraint satisfaction is still certified for every
+    admissible disturbance, but recursive feasibility of the nominal QP is not.
     """
-    Ts = problem.Ts
-    A = np.array([[1.0, Ts], [0.0, 1.0]])
-    B = np.array([[0.0], [Ts]])
-    Q = np.diag(np.asarray(problem.Q, dtype=np.float64))
-    R = np.diag(np.asarray(problem.R, dtype=np.float64))
+    box = as_box_problem(problem)
+    A, B = box.A, box.B
+    Q, R = box.Q, box.R
     P = _np_dare(A, B, Q, R)
     BtP = B.T @ P
     K = -np.linalg.solve(R + BtP @ B, BtP @ A)
@@ -184,28 +233,24 @@ def make_tube_mpc(
         A + B @ K, np.asarray(w_half, dtype=np.float64), K, alpha_max=alpha_max
     )
 
-    tight = Problem(
-        Ts=Ts,
-        Q=problem.Q,
-        R=problem.R,
-        p_min=float(problem.p_min + z_margin[0]),
-        p_max=float(problem.p_max - z_margin[0]),
-        v_min=float(problem.v_min + z_margin[1]),
-        v_max=float(problem.v_max - z_margin[1]),
-        u_min=float(problem.u_min + u_margin[0]),
-        u_max=float(problem.u_max - u_margin[0]),
-        N=problem.N,
+    tight = BoxProblem(
+        A=A, B=B, Q=Q, R=R,
+        x_min=box.x_min + z_margin,
+        x_max=box.x_max - z_margin,
+        u_min=box.u_min + u_margin,
+        u_max=box.u_max - u_margin,
+        N=box.N,
     )
-    if not (tight.p_min < tight.p_max and tight.v_min < tight.v_max
-            and tight.u_min < tight.u_max):
+    if not (np.all(tight.x_min < tight.x_max)
+            and np.all(tight.u_min < tight.u_max)):
         raise ValueError(
-            f"tube does not fit: state margins {z_margin}, input margin "
+            f"tube does not fit: state margins {z_margin}, input margins "
             f"{u_margin} empty one of the constraint boxes"
         )
 
-    inner = make_linear_mpc(
+    inner = make_box_mpc(
         tight, solver=solver, iters=iters, dtype=dtype, terminal=terminal,
-        rho=rho,
+        rho=rho, terminal_set=terminal_set,
     )
     return TubeMPC(
         inner=inner,

@@ -156,3 +156,61 @@ def test_sqp_vmaps_over_scenarios():
     )
     single = mpc.sqp_solve(ocp, x0s[1], iters=40, qp_iters=40)
     np.testing.assert_allclose(np.asarray(sols[1]), np.asarray(single.u), atol=1e-10)
+
+
+def test_rk4_prediction_variant_matches_native_oracle():
+    """template.py:141 builds its OCP on an RK4 prediction model: the in-repo
+    builder's ``integrator="rk4"`` variant must land on the same KKT point as
+    the independent C++ dual-number-AD oracle (and differ from Euler)."""
+    from model_predictive_control_tpu.oracle.native_nlp import (
+        solve_parking_native,
+    )
+    from model_predictive_control_tpu.solvers.parking import QN_SCALE_TEMPLATE
+
+    params = VehicleParameters()
+    N, ts = 8, 0.05
+    ocp = make_parking_ocp(
+        params, N=N, ts=ts, x_obs=None, Q=Q_SOL, qn_scale=QN_SCALE_TEMPLATE,
+        dtype=jnp.float64, integrator="rk4",
+    )
+    u_sci, info_sci = solve_parking_nlp(ocp, X0_MAIN)
+    u_nat, info_nat = solve_parking_native(
+        params, N, ts, np.asarray(X0_MAIN), Q=Q_SOL,
+        qn_scale=QN_SCALE_TEMPLATE, integrator="rk4", tol=1e-7,
+    )
+    assert info_nat["converged"]
+    assert float(np.max(np.abs(np.asarray(u_sci) - u_nat))) < 1e-4
+
+    ocp_eul = make_parking_ocp(
+        params, N=N, ts=ts, x_obs=None, Q=Q_SOL, qn_scale=QN_SCALE_TEMPLATE,
+        dtype=jnp.float64, integrator="euler",
+    )
+    u_eul, _ = solve_parking_nlp(ocp_eul, X0_MAIN)
+    assert float(np.max(np.abs(np.asarray(u_sci) - np.asarray(u_eul)))) > 1e-6
+
+
+def test_rk4_prediction_ilqr_matches_sqp():
+    """The stagewise (AL-iLQR) form of the RK4 variant reaches the same
+    unconstrained-interior solution as the condensed SQP form."""
+    from model_predictive_control_tpu.solvers.parking import (
+        QN_SCALE_TEMPLATE,
+        make_parking_ilqr,
+    )
+
+    params = VehicleParameters()
+    N, ts = 8, 0.05
+    ocp = make_parking_ocp(
+        params, N=N, ts=ts, x_obs=None, Q=Q_SOL, qn_scale=QN_SCALE_TEMPLATE,
+        dtype=jnp.float64, integrator="rk4",
+    )
+    sol_sqp = mpc.sqp_solve(ocp, X0_MAIN, iters=40, qp_iters=40)
+    prob, cons, nc = make_parking_ilqr(
+        params, N=N, ts=ts, x_obs=None, Q=Q_SOL, qn_scale=QN_SCALE_TEMPLATE,
+        dtype=jnp.float64, integrator="rk4",
+    )
+    sol_ilqr = mpc.al_ilqr_solve(
+        prob, cons, nc, X0_MAIN, outer_iters=8, inner_iters=30
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_ilqr.us).reshape(-1), np.asarray(sol_sqp.u), atol=2e-4
+    )
