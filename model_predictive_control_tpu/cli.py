@@ -127,11 +127,21 @@ def main(argv=None) -> int:
     _add_common(pr)
 
     pb = sub.add_parser(
-        "robust", help="nominal vs tube vs stochastic vs offset-free demo"
+        "robust",
+        help="nominal vs tube/stochastic/offset-free demo (linear tiers "
+        "+ nonlinear slope-parking offset-free NMPC)",
     )
     pb.add_argument("--batch", type=int, default=64)
     pb.add_argument("--steps", type=int, default=50)
     pb.add_argument("--seed", type=int, default=0)
+    pb.add_argument(
+        "--no-nonlinear", action="store_true",
+        help="skip the nonlinear slope-parking section (section 4)",
+    )
+    pb.add_argument(
+        "--nonlinear-steps", type=int, default=320,
+        help="closed-loop steps for the slope-parking comparison",
+    )
     _add_common(pb)
 
     pp = sub.add_parser("podscale", help="batched closed-loop throughput")
@@ -215,7 +225,8 @@ def main(argv=None) -> int:
 
         _res, summary = robust_demo.run(
             batch=args.batch, steps=args.steps, seed=args.seed,
-            outdir=args.outdir,
+            outdir=args.outdir, nonlinear=not args.no_nonlinear,
+            nonlinear_steps=args.nonlinear_steps,
         )
     elif args.cmd == "race":
         from .experiments import racing

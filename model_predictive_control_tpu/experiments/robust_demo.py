@@ -10,7 +10,12 @@ exercise-5 mismatch methodology (``session4_sol.py:443-488``):
 2. **Gaussian** noise on the v_max-riding cruise: nominal violates ~50% of
    near-limit steps, chance-constrained MPC caps the rate at ε;
 3. **constant actuator bias**: nominal MPC settles with a steady-state offset,
-   offset-free MPC estimates the bias and tracks exactly.
+   offset-free MPC estimates the bias and tracks exactly;
+4. **nonlinear (round 3)**: parking on a slope with ``friction × 0.8`` — the
+   reference's exercise-5 mismatch axis plus a persistent disturbance — where
+   the nominal NMPC parks ~0.3 m off and the disturbance-augmented-EKF
+   offset-free NMPC (:mod:`..solvers.offset_free_nmpc`) parks at the
+   matched-model accuracy level.
 
 Everything is batched over disturbance realizations with ``jax.vmap`` over the
 closed-loop scan (realizations are just another scenario axis).
@@ -46,6 +51,85 @@ def _vmap_runs(ctrl_policy, carry, x0, sys, steps, ws):
     return jax.vmap(run_one)(ws)
 
 
+SLOPE_ACCEL = 0.35  # m/s² downhill component on the v̇ row (section 4)
+
+
+def nonlinear_offset_free_demo(
+    steps: int = 320,
+    N: int = 12,
+    ts: float = 0.05,
+    slope: float = SLOPE_ACCEL,
+    friction_scale: float = 0.8,
+    dtype=jnp.float32,
+) -> dict:
+    """Slope-parking comparison: nominal :class:`..solvers.parking.ILQRMPC`
+    vs :class:`..solvers.offset_free_nmpc.OffsetFreeNMPC`, both predicting
+    with the nominal Euler bicycle against an exact-integration plant with
+    ``friction × friction_scale`` plus a constant downhill acceleration."""
+    import dataclasses
+
+    from ..models.bicycle import kinematic_bicycle_ode
+    from ..models.parameters import VehicleParameters
+    from ..ops.integrators import euler, rk4_fine
+    from ..solvers.offset_free_nmpc import OffsetFreeNMPC
+    from ..solvers.parking import (
+        ILQRMPC,
+        Q_SOL,
+        QN_SCALE_SOL,
+        make_parking_ilqr,
+    )
+
+    params = VehicleParameters()
+    p_true = dataclasses.replace(
+        params, friction=params.friction * friction_scale
+    )
+    drift = jnp.asarray([0.0, 0.0, 0.0, -slope], dtype)
+    plant = rk4_fine(
+        lambda x, u: kinematic_bicycle_ode(p_true, x, u) + drift,
+        ts, substeps=16,
+    )
+    x0 = jnp.asarray([0.6, -0.25, 0.0, 0.0], dtype)  # session4_sol.py:350
+
+    prob, cons, nc = make_parking_ilqr(
+        params, N=N, ts=ts, x_obs=None, Q=Q_SOL, qn_scale=QN_SCALE_SOL,
+        dtype=dtype,
+    )
+    nominal = ILQRMPC(prob, cons, nc, outer_iters=6, inner_iters=15)
+    res_nom = simulate(
+        x0, plant, steps=steps, policy=nominal.policy(),
+        policy_carry=nominal.initial_carry(dtype),
+    )
+
+    step_fn = euler(lambda x, u: kinematic_bicycle_ode(params, x, u), ts)
+    Q = jnp.asarray(Q_SOL, dtype)
+    of = OffsetFreeNMPC(
+        step_fn, nx=4, nu=2, N=N, Q=Q, R=jnp.asarray([1.0, 0.01], dtype),
+        QN=QN_SCALE_SOL * Q,
+        u_lb=[params.min_drive, -params.max_steer],
+        u_ub=[params.max_drive, params.max_steer],
+        r=[0.0, 0.0], dtype=dtype,
+    )
+    res_of = simulate(
+        x0, plant, steps=steps, policy=of.policy(),
+        policy_carry=of.initial_carry(x0),
+    )
+    return {
+        "slope": float(slope),
+        "friction_scale": float(friction_scale),
+        "nominal_final_dist": float(
+            jnp.linalg.norm(res_nom.states[-1, :2])
+        ),
+        "offset_free_final_dist": float(
+            jnp.linalg.norm(res_of.states[-1, :2])
+        ),
+        "offset_free_success": float(
+            np.asarray(res_of.logs["solver_success"]).mean()
+        ),
+        "d_hat_v_row": float(res_of.logs["disturbance_estimate"][-1, 3]),
+        "d_true_v_row": float(-slope * ts),
+    }
+
+
 def run(
     batch: int = 64,
     steps: int = 50,
@@ -54,8 +138,10 @@ def run(
     seed: int = 0,
     dtype=jnp.float32,
     outdir=None,
+    nonlinear: bool = True,
+    nonlinear_steps: int = 320,
 ):
-    """Run all three comparisons; returns (results dict, summary dict)."""
+    """Run all comparisons; returns (results dict, summary dict)."""
     problem = session2_problem(N=N)
     sys = problem.system(dtype)
     rng = np.random.default_rng(seed)
@@ -135,6 +221,12 @@ def run(
             res_of.logs["disturbance_estimate"][-1, 0]
         ),
     }
+
+    # -- 4. nonlinear: slope parking, nominal NMPC vs offset-free NMPC -----
+    if nonlinear:
+        results["nonlinear"] = nonlinear_offset_free_demo(
+            steps=nonlinear_steps, dtype=dtype
+        )
 
     summary = {
         "batch": batch,
