@@ -1,0 +1,240 @@
+"""Nonlinear moving-horizon estimation (Gauss-Newton MHE for the bicycle tiers).
+
+Round 2 left the estimation layer's nonlinear half filter-only (EKF); this
+module completes it with the estimator the EKF cannot replace: a
+**moving-horizon estimator** over nonlinear dynamics/measurements with hard
+state bounds — the one piece of knowledge (physical limits) a Kalman-type
+filter cannot encode. Where the reference would need CasADi+IPOPT to even
+pose this problem (``session_4/main.py:39``), here it is a fixed-iteration
+Gauss-Newton loop whose inner step is the engine's standard box-QP:
+
+- decision vector ``z = [x₀; w₀..w_{M−1}]`` (the same condensing as the linear
+  MHE, :class:`.estimation.MHE`), window states by a nonlinear ``lax.scan``
+  rollout ``x_{k+1} = F(x_k, u_k) + w_k``;
+- nonlinear least-squares residual (arrival + process + measurement terms,
+  square-root-weighted), Jacobians by ``jax.jacfwd`` through the rollout —
+  fixed shapes, so the whole window solve jits and vmaps;
+- per Gauss-Newton iteration, state bounds enter as a box-QP on the step
+  ``δz`` (rows = ``∂X/∂z`` — the linearized window states), solved by the
+  engine's PDIP (``qp_setup(setup_admm=False)`` per window is pure traced
+  linalg — no host round trip);
+- optional **arrival-covariance propagation** (the round-2 linear MHE freezes
+  ``P₀``, ``estimation.py`` ``mhe_trajectory`` docstring): the filtering-form
+  EKF recursion at the window head updates ``P₀`` between windows.
+
+In the linear-Gaussian unconstrained limit one Gauss-Newton step is exact and
+the estimator reduces to the linear MHE / Kalman filter —
+``tests/test_estimation_nl.py`` pins both equivalences, which gates every term
+of the transcription at once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .solvers.qp import pdip_solve, qp_setup
+from .utils.precision import solver_precision
+
+
+class NonlinearMHE:
+    """Gauss-Newton MHE over a fixed window of ``M`` steps.
+
+    Parameters
+    ----------
+    step_fn : discrete dynamics ``F(x, u) -> x⁺`` (integrator-wrapped ODE).
+    obs_fn : measurement map ``h(x) -> y``.
+    Qw, Rv : process / measurement noise covariances.
+    P0 : arrival covariance (initial; propagated when ``propagate_arrival``).
+    M : window length (``M`` process steps, ``M+1`` measurements).
+    x_min, x_max : optional hard state bounds on the window states x₀..x_M —
+        the capability that separates MHE from the EKF.
+    gn_iters : fixed Gauss-Newton iterations per window (2-3 suffice; 1 is
+        exact in the linear limit).
+    qp_iters : PDIP iterations for each bounded step.
+    propagate_arrival : update ``P₀`` between windows with the filtering-form
+        EKF recursion at the window head instead of freezing it.
+
+    A plain container (closures capture as jit constants), matching the
+    engine's nonlinear-controller pattern.
+    """
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        obs_fn: Callable,
+        Qw: jnp.ndarray,
+        Rv: jnp.ndarray,
+        P0: jnp.ndarray,
+        M: int,
+        nx: int,
+        x_min=None,
+        x_max=None,
+        gn_iters: int = 3,
+        qp_iters: int = 25,
+        propagate_arrival: bool = False,
+        reg: float = 1e-9,
+    ):
+        self.step_fn = step_fn
+        self.obs_fn = obs_fn
+        self.Qw = jnp.asarray(Qw)
+        self.Rv = jnp.asarray(Rv)
+        self.P0 = jnp.asarray(P0)
+        self.M = M
+        self.nx = nx
+        self.ny = self.Rv.shape[0]
+        self.x_min = None if x_min is None else jnp.asarray(x_min)
+        self.x_max = None if x_max is None else jnp.asarray(x_max)
+        self.bounded = x_min is not None or x_max is not None
+        self.gn_iters = gn_iters
+        self.qp_iters = qp_iters
+        self.propagate_arrival = propagate_arrival
+        self.reg = reg
+        # square-root weights for the residual (recomputed for traced P0)
+        self.Qw_sqrt_inv = _sqrt_inv(self.Qw)
+        self.Rv_sqrt_inv = _sqrt_inv(self.Rv)
+
+    # -- window pieces ------------------------------------------------------
+
+    def _states(self, z, us):
+        """Window states x₀..x_M from z = [x₀; w̄] — nonlinear rollout."""
+        nx, M = self.nx, self.M
+        x0 = z[:nx]
+        w = z[nx:].reshape(M, nx)
+
+        def body(x, inp):
+            u, wk = inp
+            x_next = self.step_fn(x, u) + wk
+            return x_next, x_next
+
+        _, xs = jax.lax.scan(body, x0, (us, w))
+        return jnp.concatenate([x0[None], xs], axis=0)  # (M+1, nx)
+
+    def _residual(self, z, us, ys, xbar, P0_sqrt_inv):
+        nx, M = self.nx, self.M
+        X = self._states(z, us)
+        w = z[nx:].reshape(M, nx)
+        r_arr = P0_sqrt_inv @ (z[:nx] - xbar)
+        r_w = (w @ self.Qw_sqrt_inv.T).reshape(-1)
+        innov = ys - jax.vmap(self.obs_fn)(X)
+        r_y = (innov @ self.Rv_sqrt_inv.T).reshape(-1)
+        return jnp.concatenate([r_arr, r_w, r_y])
+
+    # -- solve --------------------------------------------------------------
+
+    @solver_precision
+    def solve(self, xbar, us, ys, P0=None):
+        """One window solve → ``(x̂_M, X (M+1, nx), ŵ (M, nx))``.
+
+        ``xbar``: arrival mean for x₀. ``us``: (M, nu). ``ys``: (M+1, ny)
+        measurements of x₀..x_M. ``P0`` overrides the build-time arrival
+        covariance (used by the propagating trajectory scan).
+        """
+        nx, M = self.nx, self.M
+        P0 = self.P0 if P0 is None else P0
+        P0_sqrt_inv = _sqrt_inv(P0)
+        z0 = jnp.concatenate(
+            [jnp.asarray(xbar), jnp.zeros(M * nx, dtype=jnp.asarray(xbar).dtype)]
+        )
+
+        lb = (
+            None if self.x_min is None
+            else jnp.tile(self.x_min, M + 1)
+        )
+        ub = (
+            None if self.x_max is None
+            else jnp.tile(self.x_max, M + 1)
+        )
+
+        def gn_step(z, _):
+            r = self._residual(z, us, ys, xbar, P0_sqrt_inv)
+            J = jax.jacfwd(
+                lambda zz: self._residual(zz, us, ys, xbar, P0_sqrt_inv)
+            )(z)
+            H = J.T @ J + self.reg * jnp.eye(z.shape[0], dtype=z.dtype)
+            g = J.T @ r
+            if not self.bounded:
+                dz = -jnp.linalg.solve(H, g)
+            else:
+                # linearized window states bound the STEP: A_c dz within the
+                # box shifted by the current states
+                X = self._states(z, us).reshape(-1)
+                A_c = jax.jacfwd(
+                    lambda zz: self._states(zz, us).reshape(-1)
+                )(z)
+                big = jnp.asarray(1e19, z.dtype)
+                l_rows = (
+                    jnp.full_like(X, -big) if lb is None else lb - X
+                )
+                u_rows = (
+                    jnp.full_like(X, big) if ub is None else ub - X
+                )
+                op = qp_setup(H, A_c, setup_admm=False)
+                sol = pdip_solve(op, g, l_rows, u_rows, iters=self.qp_iters)
+                dz = sol.x
+            return z + dz, None
+
+        z, _ = jax.lax.scan(gn_step, z0, None, length=self.gn_iters)
+        X = self._states(z, us)
+        w = z[nx:].reshape(M, nx)
+        return X[-1], X, w
+
+    # -- receding-horizon trajectory ---------------------------------------
+
+    def trajectory(self, xbar0, us, ys):
+        """Receding-horizon MHE over a record: one scan over window starts.
+
+        Window ``k`` estimates ``x_{k+M}`` from ``us[k:k+M]``,
+        ``ys[k:k+M+1]``. Arrival-prior recursion between windows:
+
+        - ``propagate_arrival=True`` — the **filtering arrival cost**
+          (Rao–Rawlings): the prior ``(x̄, P₀)`` takes one EKF step per window
+          shift, correcting with the window-head measurement only — the prior
+          stays a genuine conditional on *past* data, and in the
+          linear-Gaussian unconstrained limit the window-end estimates equal
+          the Kalman filter **exactly** (pinned in tests).
+        - ``propagate_arrival=False`` — the round-2 linear-MHE approximation:
+          the smoothed window head pushed one step
+          (``x̄⁺ = F(x̂₀, u₀) + ŵ₀``) with the covariance frozen at the
+          build-time ``P₀``.
+
+        Returns stacked window-end estimates, shape ``(T − M + 1, nx)``.
+        """
+        M = self.M
+        T = us.shape[0]
+        I = jnp.eye(self.nx, dtype=self.P0.dtype)
+
+        def win(carry, k):
+            xbar, P0 = carry
+            u_w = jax.lax.dynamic_slice_in_dim(us, k, M, axis=0)
+            y_w = jax.lax.dynamic_slice_in_dim(ys, k, M + 1, axis=0)
+            x_M, X, w = self.solve(xbar, u_w, y_w, P0=P0)
+            if self.propagate_arrival:
+                # EKF step at the head on prior data only: correct (x̄, P₀)
+                # with this window's head measurement, predict through u₀
+                C = jax.jacfwd(self.obs_fn)(xbar)
+                S = C @ P0 @ C.T + self.Rv
+                K = jnp.linalg.solve(S.T, (P0 @ C.T).T).T
+                xf = xbar + K @ (y_w[0] - self.obs_fn(xbar))
+                KC = K @ C
+                P_corr = (I - KC) @ P0 @ (I - KC).T + K @ self.Rv @ K.T
+                A = jax.jacfwd(self.step_fn, argnums=0)(xf, u_w[0])
+                xbar_next = self.step_fn(xf, u_w[0])
+                P0_next = A @ P_corr @ A.T + self.Qw
+            else:
+                xbar_next = self.step_fn(X[0], u_w[0]) + w[0]
+                P0_next = P0
+            return (xbar_next, P0_next), x_M
+
+        (_, _), x_ends = jax.lax.scan(
+            win, (jnp.asarray(xbar0), self.P0), jnp.arange(T - M + 1)
+        )
+        return x_ends
+
+
+def _sqrt_inv(S):
+    """Inverse matrix square root of an SPD matrix (eigh — small, traced)."""
+    vals, vecs = jnp.linalg.eigh(S)
+    return (vecs / jnp.sqrt(jnp.maximum(vals, 1e-30))) @ vecs.T

@@ -1,0 +1,183 @@
+"""Nonlinear MHE (round 3): Gauss-Newton window estimator for the bicycle
+tiers, linear-limit-gated against the round-2 linear MHE / Kalman filter.
+
+Gates (VERDICT r2 item 5):
+- one Gauss-Newton step on linear closures IS the linear MHE (exact);
+- the filtering arrival-cost recursion (``propagate_arrival=True``) makes the
+  receding-horizon estimator equal the time-varying Kalman filter EXACTLY in
+  the linear-Gaussian unconstrained limit — where the round-2 frozen-arrival
+  approximation is visibly off;
+- on the bicycle with a known physical bound (v ≥ 0) the EKF produces
+  infeasible estimates the bounded MHE cannot.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import model_predictive_control_tpu.estimation as est
+from model_predictive_control_tpu.estimation_nl import NonlinearMHE
+from model_predictive_control_tpu.models.bicycle import kinematic_bicycle_ode
+from model_predictive_control_tpu.models.parameters import VehicleParameters
+from model_predictive_control_tpu.models.linear import LinearSystem
+
+
+def _linear_setup():
+    A = jnp.asarray([[1.0, 0.3], [0.0, 1.0]], jnp.float64)
+    B = jnp.asarray([[0.0], [0.3]], jnp.float64)
+    C = jnp.asarray([[1.0, 0.0]], jnp.float64)
+    system = LinearSystem(A=A, B=B, C=C)
+    Qw = jnp.asarray([[1e-4, 0.0], [0.0, 4e-3]], jnp.float64)
+    Rv = jnp.asarray([[0.04]], jnp.float64)
+    step_fn = lambda x, u: A @ x + B @ u
+    obs_fn = lambda x: C @ x
+    return system, Qw, Rv, step_fn, obs_fn
+
+
+def _simulate_linear(system, Qw, Rv, x0, us, key):
+    A, B, C = system.A, system.B, system.C
+    x = x0
+    xs, ys = [], []
+    for k in range(us.shape[0]):
+        kw, kv, key = jax.random.split(key, 3)
+        x = A @ x + B @ us[k] + jax.random.multivariate_normal(
+            kw, jnp.zeros(2, jnp.float64), Qw
+        )
+        xs.append(x)
+        ys.append(C @ x + jax.random.normal(kv, (1,), jnp.float64)
+                  * jnp.sqrt(Rv[0, 0]))
+    return jnp.stack(xs), jnp.stack(ys)
+
+
+@pytest.mark.smoke
+def test_linear_limit_single_window_equals_linear_mhe():
+    """One GN step on linear closures reproduces the linear condensed MHE
+    (gates every term of the nonlinear transcription at once)."""
+    system, Qw, Rv, step_fn, obs_fn = _linear_setup()
+    M = 8
+    x0 = jnp.asarray([1.0, -0.5], jnp.float64)
+    us = 0.2 * jnp.cos(0.3 * jnp.arange(M, dtype=jnp.float64))[:, None]
+    _, ys = _simulate_linear(system, Qw, Rv, x0, us, jax.random.PRNGKey(4))
+    y0 = system.C @ x0
+    ys_all = jnp.concatenate([y0[None], ys], axis=0)
+    xbar = jnp.asarray([0.8, -0.3], jnp.float64)
+    P0 = jnp.asarray([[0.5, 0.1], [0.1, 0.3]], jnp.float64)
+
+    lin = est.make_mhe(system, Qw, Rv, P0, M)
+    xM_lin, X_lin, _ = lin.solve_unconstrained(xbar, us, ys_all)
+
+    nl = NonlinearMHE(step_fn, obs_fn, Qw, Rv, P0, M, nx=2, gn_iters=1)
+    xM_nl, X_nl, _ = nl.solve(xbar, us, ys_all)
+    np.testing.assert_allclose(np.asarray(xM_nl), np.asarray(xM_lin),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(X_nl), np.asarray(X_lin),
+                               atol=1e-10)
+
+    # bounded path with inactive bounds lands on the same optimum (gates the
+    # per-GN-step box-QP wiring)
+    nl_b = NonlinearMHE(
+        step_fn, obs_fn, Qw, Rv, P0, M, nx=2, gn_iters=2,
+        x_min=[-10.0, -10.0], x_max=[10.0, 10.0],
+    )
+    xM_b, _, _ = nl_b.solve(xbar, us, ys_all)
+    np.testing.assert_allclose(np.asarray(xM_b), np.asarray(xM_lin),
+                               atol=1e-8)
+
+
+def test_propagated_arrival_is_exactly_the_kalman_filter():
+    """Filtering arrival-cost recursion: the receding-horizon nonlinear MHE
+    on linear closures equals the time-varying KF EXACTLY; the round-2
+    frozen-arrival approximation does not."""
+    system, Qw, Rv, step_fn, obs_fn = _linear_setup()
+    M, T = 8, 40
+    x0 = jnp.asarray([1.5, -0.5], jnp.float64)
+    us = 0.1 * jnp.sin(0.2 * jnp.arange(T, dtype=jnp.float64))[:, None]
+    _, ys = _simulate_linear(system, Qw, Rv, x0, us, jax.random.PRNGKey(7))
+    y0 = system.C @ x0 + jax.random.normal(
+        jax.random.PRNGKey(9), (1,), jnp.float64
+    ) * jnp.sqrt(Rv[0, 0])
+    ys_all = jnp.concatenate([y0[None], ys], axis=0)
+    P0 = jnp.asarray([[0.5, 0.1], [0.1, 0.3]], jnp.float64)
+    xbar0 = jnp.asarray([1.2, -0.3], jnp.float64)
+
+    # KF reference: ingest y0 (measurement of x_0) first, then filter
+    C = system.C
+    S0 = C @ P0 @ C.T + Rv
+    K0 = P0 @ C.T @ jnp.linalg.inv(S0)
+    xhat0 = xbar0 + K0 @ (y0 - C @ xbar0)
+    I = jnp.eye(2, dtype=jnp.float64)
+    P0p = (I - K0 @ C) @ P0 @ (I - K0 @ C).T + K0 @ Rv @ K0.T
+    xh_ref, _ = est.kalman_filter_trajectory(
+        system, Qw, Rv, xhat0, P0p, us, ys
+    )
+
+    mhe_p = NonlinearMHE(step_fn, obs_fn, Qw, Rv, P0, M, nx=2, gn_iters=1,
+                         propagate_arrival=True)
+    x_ends = mhe_p.trajectory(xbar0, us, ys_all)
+    np.testing.assert_allclose(
+        np.asarray(x_ends), np.asarray(xh_ref[M - 1:]), atol=1e-9
+    )
+
+    mhe_f = NonlinearMHE(step_fn, obs_fn, Qw, Rv, P0, M, nx=2, gn_iters=1,
+                         propagate_arrival=False)
+    x_ends_f = mhe_f.trajectory(xbar0, us, ys_all)
+    err_f = float(jnp.max(jnp.abs(x_ends_f - xh_ref[M - 1:])))
+    assert err_f > 1e-3  # the frozen approximation is visibly not the KF
+
+
+def test_bicycle_bound_ekf_infeasible_mhe_feasible():
+    """Known physical bound the EKF cannot encode: a car coasting to rest
+    (v hugs 0 from above, position-only measurements). The EKF estimates
+    negative velocities; the bounded MHE never does, and its velocity RMSE
+    is no worse."""
+    from model_predictive_control_tpu.ops.integrators import rk4
+
+    params = VehicleParameters()
+    ts = 0.05
+    step_fn = rk4(lambda x, u: kinematic_bicycle_ode(params, x, u), ts)
+    obs_fn = lambda x: x[:2]
+    dt = jnp.float64
+    T = 50
+    us = jnp.concatenate(
+        [
+            jnp.tile(jnp.asarray([[0.2, 0.05]], dt), (8, 1)),
+            jnp.tile(jnp.asarray([[0.0, 0.0]], dt), (T - 8, 1)),
+        ]
+    )
+    Qw = jnp.diag(jnp.asarray([1e-6, 1e-6, 1e-5, 1e-3], dt))
+    Rv = jnp.asarray(0.1**2, dt) * jnp.eye(2, dtype=dt)
+    key = jax.random.PRNGKey(1)
+    x = jnp.zeros(4, dt)
+    xs, ys = [x], [obs_fn(x)]
+    for k in range(T):
+        kw, kv, key = jax.random.split(key, 3)
+        w = jax.random.multivariate_normal(kw, jnp.zeros(4, dt), Qw)
+        x = step_fn(x, us[k]) + w
+        # physics the estimators must recover: wheels do not reverse on
+        # their own (one-sided truncation at the v >= 0 bound)
+        x = x.at[3].set(jnp.maximum(x[3], 0.0))
+        xs.append(x)
+        ys.append(obs_fn(x) + jax.random.normal(kv, (2,), dt) * 0.1)
+    xs = jnp.stack(xs)
+    ys_all = jnp.stack(ys)
+
+    P0 = jnp.diag(jnp.asarray([1e-4, 1e-4, 1e-3, 1e-2], dt))
+    M = 10
+    ekf = est.ExtendedKalmanFilter(step_fn, obs_fn, Qw, Rv)
+    xh_ekf, _ = est.ekf_trajectory(ekf, xs[0], P0, us, ys_all[1:])
+    mhe = NonlinearMHE(
+        step_fn, obs_fn, Qw, Rv, P0, M, nx=4,
+        x_min=[-3.0, -2.0, -7.0, 0.0], x_max=[3.0, 2.0, 7.0, 1.0],
+        gn_iters=3, propagate_arrival=True,
+    )
+    x_ends = mhe.trajectory(xs[0], us, ys_all)
+
+    true_v = np.asarray(xs[M:, 3])
+    ekf_v = np.asarray(xh_ekf[M - 1:, 3])
+    mhe_v = np.asarray(x_ends[:, 3])
+    assert ekf_v.min() < -0.005  # the EKF goes physically infeasible
+    assert mhe_v.min() > -1e-6  # the MHE respects the bound
+    rmse_ekf = float(np.sqrt(np.mean((ekf_v - true_v) ** 2)))
+    rmse_mhe = float(np.sqrt(np.mean((mhe_v - true_v) ** 2)))
+    assert rmse_mhe < rmse_ekf  # ... and is (slightly) more accurate for it
