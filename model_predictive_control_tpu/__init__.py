@@ -66,6 +66,7 @@ from .solvers.implicit import (
     pdip_solve_implicit,
     make_implicit_qp_solver,
     make_implicit_al_ilqr_solver,
+    make_implicit_al_ilqr_param_solver,
     stagewise_ip_solve_implicit,
 )
 from .estimation import (
@@ -84,8 +85,10 @@ from .estimation import (
 from .tuning import (
     TuneResult,
     make_closed_loop_cost,
+    make_parking_closed_loop_cost,
     theta_to_weights,
     tune_mpc_weights,
+    tune_parking_weights,
 )
 from .solvers.sqp import ShootingOCP, SQPSolution, sqp_solve
 from .solvers.ilqr import (

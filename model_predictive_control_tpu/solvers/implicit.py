@@ -361,10 +361,10 @@ def make_implicit_al_ilqr_solver(
     from ``jacfwd`` of the residual. Gradient accuracy is bounded by the AL
     convergence tolerance (``viol_tol``), not by the wrapper.
 
-    Cost/vehicle parameters live inside the ``prob``/``constraints`` closures
-    and are not differentiated — rebuild the problem per parameter value (the
-    closures trace fresh under jit) or use the stagewise/QP implicit solvers
-    for weight-tuning workloads.
+    Differentiates w.r.t. ``x0`` only (the closures bake everything else in).
+    For gradients w.r.t. cost weights / vehicle parameters use
+    :func:`make_implicit_al_ilqr_param_solver`, which threads an explicit
+    parameter pytree through the KKT residual.
     """
     from .ilqr import ALILQRSolution, _rollout, _total_cost, al_ilqr_solve
 
@@ -445,6 +445,125 @@ def make_implicit_al_ilqr_solver(
         if u_init is None:
             u_init = jnp.zeros((N, nu), dtype=jnp.asarray(x0).dtype)
         return _solve(x0, u_init)
+
+    return solve
+
+
+def make_implicit_al_ilqr_param_solver(
+    problem_fn, n_constraints: int, **solver_kwargs
+):
+    """Parameter-differentiable AL-iLQR (lifts the x0-only limitation).
+
+    ``problem_fn(theta) -> (ILQRProblem, constraints)`` builds the OCP from an
+    explicit parameter pytree ``theta`` (cost weights, vehicle-parameter
+    leaves, references, ...). Returns ``solve(theta, x0, u_init=None) ->
+    ALILQRSolution`` where ``jax.grad`` flows through ``sol.us`` / ``sol.xs``
+    / ``sol.cost`` with respect to BOTH ``theta`` and ``x0``.
+
+    Same KKT construction as :func:`make_implicit_al_ilqr_solver` (converged
+    AL multipliers as inequality duals, active set from λ > tol, one dense
+    KKT solve + iterative refinement), with the residual's parameter
+    dependence exposed: the backward pass adds one VJP of the KKT residual
+    w.r.t. ``theta`` plus the direct (non-KKT) cotangent path of the smooth
+    outputs ``(xs, cost)`` through dynamics/cost. This is what makes
+    ``tune_mpc_weights``-style gradient tuning reach the nonlinear
+    parking/racing tier (VERDICT r2 item 6).
+    """
+    from .ilqr import ALILQRSolution, _rollout, _total_cost, al_ilqr_solve
+
+    def _pieces(theta):
+        prob, constraints = problem_fn(theta)
+        return prob, constraints
+
+    def lagrangian(U, lam, x0, theta):
+        prob, constraints = _pieces(theta)
+        N, nu = prob.N, prob.nu
+        us = U.reshape(N, nu)
+        xs = _rollout(prob, x0, us)
+        ts = jnp.arange(N)
+        cs = jax.vmap(constraints)(xs[:-1], us, ts)
+        return _total_cost(prob, xs, us) + jnp.sum(lam * cs)
+
+    def kkt_resid(w, x0, theta, active):
+        prob, constraints = _pieces(theta)
+        N, nu = prob.N, prob.nu
+        U = w[: N * nu]
+        lam = w[N * nu :].reshape(N, n_constraints)
+        stat = jax.grad(lagrangian, argnums=0)(U, lam, x0, theta)
+        us = U.reshape(N, nu)
+        xs = _rollout(prob, x0, us)
+        ts = jnp.arange(N)
+        cs = jax.vmap(constraints)(xs[:-1], us, ts)
+        comp = jnp.where(active, cs, lam)
+        return jnp.concatenate([stat, comp.ravel()])
+
+    @jax.custom_vjp
+    def _solve(theta, x0, u_init):
+        prob, constraints = _pieces(theta)
+        return al_ilqr_solve(
+            prob, constraints, n_constraints, x0, u_init=u_init,
+            **solver_kwargs,
+        )
+
+    def solve_fwd(theta, x0, u_init):
+        sol = _solve(theta, x0, u_init)
+        return sol, (theta, x0, u_init, sol)
+
+    # jitted for the same reason as the x0-only wrapper: the jacfwd-of-grad
+    # through the rollout scan must run as a compiled computation
+    @jax.jit
+    @solver_precision
+    def solve_bwd(saved, ct: "ALILQRSolution"):
+        theta, x0, u_init, sol = saved
+        prob, _ = _pieces(theta)
+        N, nu = prob.N, prob.nu
+        U = sol.us.ravel()
+        lam = sol.lams
+        tol = 1e-6 * jnp.maximum(jnp.max(lam), 1.0)
+        active = lam > tol
+
+        w = jnp.concatenate([U, lam.ravel()])
+        K = jax.jacfwd(lambda ww: kkt_resid(ww, x0, theta, active))(w)
+
+        # direct (non-KKT) cotangent path of the smooth outputs (xs, cost):
+        # they depend on (theta, x0, ū) outside the argmin too
+        def outs(theta_, x0_, U_):
+            prob_, _ = _pieces(theta_)
+            us = U_.reshape(N, nu)
+            xs = _rollout(prob_, x0_, us)
+            return xs, _total_cost(prob_, xs, us)
+
+        _, pull = jax.vjp(outs, theta, x0, U)
+        gtheta_direct, gx0_direct, gU_extra = pull((ct.xs, ct.cost))
+        gU = ct.us.ravel() + gU_extra
+        g = jnp.concatenate([gU, ct.lams.ravel()])
+
+        v = jnp.linalg.solve(K.T, g)
+        v = v + jnp.linalg.solve(K.T, g - K.T @ v)
+        _, pull_p = jax.vjp(
+            lambda theta_, x0_: kkt_resid(w, x0_, theta_, active), theta, x0
+        )
+        theta_bar_kkt, x0_bar_kkt = pull_p(v)
+        x0_bar = gx0_direct - x0_bar_kkt
+        theta_bar = jax.tree.map(
+            lambda d, k: d - k, gtheta_direct, theta_bar_kkt
+        )
+        finite = jnp.all(jnp.isfinite(v))
+        x0_bar = jnp.where(finite, x0_bar, jnp.zeros_like(x0_bar))
+        theta_bar = jax.tree.map(
+            lambda a: jnp.where(finite, a, jnp.zeros_like(a)), theta_bar
+        )
+        return (theta_bar, x0_bar, jnp.zeros_like(u_init))
+
+    _solve.defvjp(solve_fwd, solve_bwd)
+
+    def solve(theta, x0, u_init=None):
+        if u_init is None:
+            prob, _ = _pieces(theta)
+            u_init = jnp.zeros(
+                (prob.N, prob.nu), dtype=jnp.asarray(x0).dtype
+            )
+        return _solve(theta, x0, u_init)
 
     return solve
 

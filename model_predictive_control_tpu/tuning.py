@@ -154,3 +154,126 @@ def tune_mpc_weights(
         losses=jnp.asarray(losses),
         grads=jnp.stack(grads) if grads else jnp.zeros((0, nx + nu)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear tier: parking-weight tuning through the implicit AL-iLQR
+# ---------------------------------------------------------------------------
+
+
+def make_parking_closed_loop_cost(
+    x0s: jnp.ndarray,  # (B, 4) scenario batch
+    steps: int,
+    true_Q: jnp.ndarray,  # (4,) diagonal of the TRUE state objective
+    true_R: jnp.ndarray,  # (2,) diagonal of the TRUE input objective
+    N: int = 8,
+    ts: float = 0.05,
+    qn_scale: float = 10.0,
+    friction_scale: float = 1.0,
+    outer_iters: int = 8,
+    inner_iters: int = 30,
+    dtype=jnp.float64,
+) -> Callable:
+    """``loss(theta) -> scalar`` for the NONLINEAR parking tier: mean true
+    closed-loop cost over the batch when the plant (Euler bicycle, optionally
+    friction-mismatched) is driven by an AL-iLQR MPC whose internal weights
+    are ``theta = {logQ (4,), logR (2,)}``.
+
+    Gradients flow through every per-step solve via
+    :func:`..solvers.implicit.make_implicit_al_ilqr_param_solver` — the KKT
+    implicit function theorem, not unrolled iterations — which is what lets
+    ``jax.grad`` tune the session-4 controller weights the reference fixes by
+    hand (``session_4/main.py:72-74``).
+    """
+    import dataclasses
+
+    from .models.bicycle import NU, kinematic_bicycle_ode
+    from .models.parameters import VehicleParameters
+    from .ops.integrators import euler
+    from .solvers.implicit import make_implicit_al_ilqr_param_solver
+    from .solvers.parking import make_parking_ilqr
+
+    params = VehicleParameters()
+    plant_params = dataclasses.replace(
+        params, friction=params.friction * friction_scale
+    )
+    plant = euler(
+        lambda x, u: kinematic_bicycle_ode(plant_params, x, u), ts
+    )
+    true_Q = jnp.asarray(true_Q, dtype)
+    true_R = jnp.asarray(true_R, dtype)
+    x0s = jnp.asarray(x0s, dtype)
+
+    def problem_fn(theta):
+        prob, cons, _ = make_parking_ilqr(
+            params, N=N, ts=ts, x_obs=None,
+            Q=jnp.exp(theta["logQ"]), R=jnp.exp(theta["logR"]),
+            qn_scale=qn_scale, dtype=dtype,
+        )
+        return prob, cons
+
+    nc = make_parking_ilqr(params, N=N, ts=ts, x_obs=None, dtype=dtype)[2]
+    solve = make_implicit_al_ilqr_param_solver(
+        problem_fn, nc, outer_iters=outer_iters, inner_iters=inner_iters,
+    )
+
+    def loss(theta) -> jnp.ndarray:
+        def step(carry, _):
+            x, u_warm = carry
+            sol = solve(theta, x, u_init=u_warm)
+            u0 = sol.us[0]
+            u_warm = jnp.concatenate([sol.us[1:], sol.us[-1:]], axis=0)
+            c = x @ (true_Q * x) + u0 @ (true_R * u0)
+            return (plant(x, u0), u_warm), c
+
+        def rollout(x0):
+            (xT, _), costs = jax.lax.scan(
+                step, (x0, jnp.zeros((N, NU), dtype)), None, length=steps
+            )
+            return jnp.sum(costs) + xT @ (qn_scale * true_Q * xT)
+
+        return jnp.mean(jax.vmap(rollout)(x0s))
+
+    return loss
+
+
+def tune_parking_weights(
+    x0s: jnp.ndarray,
+    steps: int,
+    true_Q,
+    true_R,
+    theta0: dict | None = None,
+    updates: int = 15,
+    learning_rate: float = 0.15,
+    dtype=jnp.float64,
+    **cost_kwargs,
+) -> dict:
+    """Adam on the true nonlinear closed-loop cost (parking tier). Returns
+    ``{theta, Q, R, losses}`` with the loss trace per update."""
+    import optax
+
+    if theta0 is None:
+        theta0 = {
+            "logQ": jnp.log(jnp.asarray([1.0, 3.0, 0.1, 0.01], dtype)),
+            "logR": jnp.log(jnp.asarray([1.0, 0.01], dtype)),
+        }
+    loss = make_parking_closed_loop_cost(
+        x0s, steps, true_Q, true_R, dtype=dtype, **cost_kwargs
+    )
+    vg = jax.jit(jax.value_and_grad(loss))
+    opt = optax.adam(learning_rate)
+    state = opt.init(theta0)
+    theta = theta0
+    losses = []
+    for _ in range(updates):
+        val, g = vg(theta)
+        losses.append(float(val))
+        upd, state = opt.update(g, state)
+        theta = optax.apply_updates(theta, upd)
+    losses.append(float(vg(theta)[0]))
+    return {
+        "theta": theta,
+        "Q": jnp.exp(theta["logQ"]),
+        "R": jnp.exp(theta["logR"]),
+        "losses": jnp.asarray(losses),
+    }
