@@ -93,6 +93,22 @@ def main(argv=None) -> int:
     pw.add_argument("--checkpoint-every", type=int, default=0)
     _add_common(pw)
 
+    pr2 = sub.add_parser(
+        "racesweep",
+        help="batched lap-tracking sweep on the fused AL-iLQR kernel "
+        "(perturbed plants x randomized starts, kinematic tier)",
+    )
+    pr2.add_argument("--batch", type=int, default=1024)
+    pr2.add_argument("--steps", type=int, default=50)
+    pr2.add_argument("--horizon", type=int, default=15)
+    pr2.add_argument("--speed", type=float, default=0.35)
+    pr2.add_argument("--rel-scale", type=float, default=0.1)
+    pr2.add_argument(
+        "--backend", choices=("pallas", "xla"), default="pallas",
+        help="pallas = fused tracking kernel (TPU); xla = vmap reference path",
+    )
+    _add_common(pr2)
+
     pt = sub.add_parser(
         "tune",
         help="gradient-tune MPC weights through the differentiable closed loop",
@@ -238,6 +254,31 @@ def main(argv=None) -> int:
             speed=args.speed,
             outdir=args.outdir,
         )
+    elif args.cmd == "racesweep":
+        from .obs.metrics import Timer
+        from .parallel import make_mesh
+        from .parallel.batch import racing_sweep
+
+        import jax
+
+        mesh = make_mesh(len(jax.devices()))
+        kw = dict(
+            batch=args.batch, steps=args.steps, N=args.horizon,
+            speed=args.speed, rel_scale=args.rel_scale,
+            backend=args.backend, mesh=mesh,
+        )
+        with Timer() as t:
+            res, summary = racing_sweep(**kw)
+            t.fence(res.states)
+        summary["wall_s"] = round(t.elapsed, 3)
+        # second run with a fresh key measures the compiled device loop
+        with Timer() as t2:
+            res2, _ = racing_sweep(key=jax.random.PRNGKey(1), **kw)
+            t2.fence(res2.states)
+        summary["solves_per_s"] = round(
+            args.batch * args.steps / t2.elapsed, 1
+        )
+        summary["wall_steady_s"] = round(t2.elapsed, 3)
     elif args.cmd == "sweep":
         from .parallel import make_mesh, parking_sweep
         from .obs.metrics import Timer

@@ -69,19 +69,7 @@ def _alilqr_tile_kernel(
     x0_ref,  # (4, T)
     u0_ref,  # (N, 2, T)
     pp_ref,  # (2, T): [acceleration, friction] per scenario
-    us_out,  # (N, 2, T)
-    xs_out,  # (N + 1, 4, T)
-    viol_out,  # (1, T)
-    conv_out,  # (1, T) 1.0/0.0 mask
-    # scratch
-    xs_s,  # (N + 1, 4, T) current trajectory
-    us_s,  # (N, 2, T) current controls
-    xs_c,  # (N + 1, 4, T) candidate trajectory
-    us_c,  # (N, 2, T) candidate controls
-    k_s,  # (N, 2, T) feedforward gains
-    K_s,  # (N, 8, T) feedback gains, row index 4*i+j for K[i, j]
-    lam_s,  # (N, NC, T) AL multipliers
-    *,
+    *rest,  # [ref_ref (N+1, 4, T) when track] + outputs + scratch (see below)
     N: int,
     nc: int,
     n_circ: int,
@@ -99,7 +87,21 @@ def _alilqr_tile_kernel(
     reg_init: float,
     reg_min: float,
     reg_max: float,
+    track: bool = False,
 ):
+    # remaining positional refs, in pallas_call order:
+    #   [ref_ref (N+1, 4, T) — tracking reference, only when track=True]
+    #   us_out (N, 2, T), xs_out (N+1, 4, T), viol_out (1, T), conv_out (1, T)
+    #   scratch: xs_s, us_s, xs_c, us_c (trajectory/candidate buffers),
+    #   k_s (N, 2, T), K_s (N, 8, T), lam_s (N, NC, T)
+    if track:
+        ref_ref, *rest = rest
+    else:
+        ref_ref = None
+    (
+        us_out, xs_out, viol_out, conv_out,
+        xs_s, us_s, xs_c, us_c, k_s, K_s, lam_s,
+    ) = rest
     f32 = jnp.float32
     T = x0_ref.shape[-1]
     KB, LR, OX, R2, OBS = geom
@@ -109,6 +111,16 @@ def _alilqr_tile_kernel(
 
     def row(ref_val, i):
         return ref_val[i : i + 1]  # (1, T)
+
+    # tracking reference rows for stage t_i (None in regulation mode keeps the
+    # round-2 parking code path byte-identical)
+    if track:
+        def ref_rows(t_i):
+            rr = ref_ref[t_i]  # (4, T)
+            return (rr[0:1], rr[1:2], rr[2:3], rr[3:4])
+    else:
+        def ref_rows(t_i):
+            return None
 
     # ---- dynamics: one Euler step + Jacobian entries -------------------------
     # Row-based primitives take per-component arrays of ANY leading shape
@@ -201,12 +213,20 @@ def _alilqr_tile_kernel(
         ur = (u[0:1], u[1:2])
         return jnp.concatenate(constraint_row_list(xr, ur))  # (nc, T)
 
-    def stage_cost_rows(xr, ur, lam, mu):
+    def _quad_err(xr, rr):
+        """Σ QD_i e_i², e = x − ref (ref rows broadcast over alpha packs)."""
+        if rr is None:
+            return sum(QD[i] * xr[i] * xr[i] for i in range(NX))
+        return sum(
+            QD[i] * (xr[i] - rr[i]) * (xr[i] - rr[i]) for i in range(NX)
+        )
+
+    def stage_cost_rows(xr, ur, lam, mu, rr=None):
         """Quadratic + AL penalty, any leading shape (e.g. (A, T) alpha packs).
 
         lam rows are (1, T) slices that broadcast against the pack."""
         rows = constraint_row_list(xr, ur)
-        quad = sum(QD[i] * xr[i] * xr[i] for i in range(NX)) + sum(
+        quad = _quad_err(xr, rr) + sum(
             RD[j] * ur[j] * ur[j] for j in range(NU)
         )
         phi = jnp.zeros_like(quad)
@@ -216,26 +236,32 @@ def _alilqr_tile_kernel(
             phi = phi + (act * act - lam_r * lam_r)
         return quad + phi / (2.0 * mu)
 
-    def stage_cost_value(x, u, lam, mu):
+    def stage_cost_value(x, u, lam, mu, t_i):
         return stage_cost_rows(
-            (x[0:1], x[1:2], x[2:3], x[3:4]), (u[0:1], u[1:2]), lam, mu
+            (x[0:1], x[1:2], x[2:3], x[3:4]), (u[0:1], u[1:2]), lam, mu,
+            rr=ref_rows(t_i),
         )
 
-    def terminal_cost_rows(xr):
-        return QN * sum(QD[i] * xr[i] * xr[i] for i in range(NX))
+    def terminal_cost_rows(xr, rr=None):
+        return QN * _quad_err(xr, rr)
 
     def terminal_cost_value(x):
-        return terminal_cost_rows((x[0:1], x[1:2], x[2:3], x[3:4]))
+        return terminal_cost_rows(
+            (x[0:1], x[1:2], x[2:3], x[3:4]), rr=ref_rows(N)
+        )
 
-    def stage_derivs(x, u, lam, mu):
+    def stage_derivs(x, u, lam, mu, rr=None):
         """Gradients/Hessians of stage cost + AL penalty.
 
         Returns lx (4,T), lu (2,T), lxx rows dict (symmetric entries), luu diag
         (2,T). lux is identically zero (no constraint couples x and u; the
         quadratic cost is separable)."""
         px, py, psi = x[0:1], x[1:2], x[2:3]
-        # quadratic part
-        lx = [2.0 * QD[i] * x[i : i + 1] for i in range(NX)]
+        # quadratic part (lxx/luu are ref-independent; only lx shifts)
+        if rr is None:
+            lx = [2.0 * QD[i] * x[i : i + 1] for i in range(NX)]
+        else:
+            lx = [2.0 * QD[i] * (x[i : i + 1] - rr[i]) for i in range(NX)]
         lu = [2.0 * RD[j] * u[j : j + 1] for j in range(NU)]
         zero = jnp.zeros_like(px)
         hxx = {}  # symmetric 4x4, keys (i, j) i<=j
@@ -343,7 +369,7 @@ def _alilqr_tile_kernel(
     def total_cost(xs_buf, us_buf, mu):
         def body(t_i, cost):
             return cost + stage_cost_value(
-                xs_buf[t_i], us_buf[t_i], lam_s[t_i], mu
+                xs_buf[t_i], us_buf[t_i], lam_s[t_i], mu, t_i
             )
 
         cost = jax.lax.fori_loop(0, N, body, jnp.zeros((1, T), f32))
@@ -354,7 +380,15 @@ def _alilqr_tile_kernel(
         """Riccati sweep over stored (xs_s, us_s); writes gains; returns
         (ok (1,T), grad (1,T))."""
         xN = xs_s[N]
-        Vx = jnp.concatenate([2.0 * QN * QD[i] * xN[i : i + 1] for i in range(NX)])
+        rrN = ref_rows(N)
+        if rrN is None:
+            Vx = jnp.concatenate(
+                [2.0 * QN * QD[i] * xN[i : i + 1] for i in range(NX)]
+            )
+        else:
+            Vx = jnp.concatenate(
+                [2.0 * QN * QD[i] * (xN[i : i + 1] - rrN[i]) for i in range(NX)]
+            )
         Vxx0 = [[None] * NX for _ in range(NX)]
         zero = jnp.zeros((1, T), f32)
         for i in range(NX):
@@ -370,7 +404,7 @@ def _alilqr_tile_kernel(
             x = xs_s[t_i]
             u = us_s[t_i]
             _, J = dyn(x, u, acc, fric, want_jac=True)
-            lx, lu, hxx, huu = stage_derivs(x, u, lam_s[t_i], mu)
+            lx, lu, hxx, huu = stage_derivs(x, u, lam_s[t_i], mu, rr=ref_rows(t_i))
             a02, a03 = J["a02"], J["a03"]
             a12, a13 = J["a12"], J["a13"]
             a23, a33 = J["a23"], J["a33"]
@@ -519,7 +553,8 @@ def _alilqr_tile_kernel(
             a_u = uh[0:1] + du0
             dl_u = uh[1:2] + du1
             cost = cost + stage_cost_rows(
-                (px, py, psi, v), (a_u, dl_u), lam_s[t_i], mu
+                (px, py, psi, v), (a_u, dl_u), lam_s[t_i], mu,
+                rr=ref_rows(t_i),
             )
             px, py, psi, v = dyn_rows(px, py, psi, v, a_u, dl_u)
             return px, py, psi, v, cost
@@ -529,7 +564,7 @@ def _alilqr_tile_kernel(
             jnp.broadcast_to(x0[i : i + 1], (A_LS, T)) for i in range(NX)
         ) + (jnp.zeros((A_LS, T), f32),)
         px, py, psi, v, cost = jax.lax.fori_loop(0, N, body, init)
-        return cost + terminal_cost_rows((px, py, psi, v))
+        return cost + terminal_cost_rows((px, py, psi, v), rr=ref_rows(N))
 
     def forward_store(alpha):
         """Same rollout with per-scenario alpha (1, T); stores into xs_c/us_c.
@@ -688,6 +723,7 @@ def al_ilqr_solve_pallas(
     u_init: jnp.ndarray,  # (B, N, 2)
     acc: jnp.ndarray,  # (B,) per-scenario acceleration param
     fric: jnp.ndarray,  # (B,) per-scenario friction param
+    refs: jnp.ndarray | None = None,  # (B, N+1, 4) tracking reference windows
     *,
     N: int,
     ts: float,
@@ -707,23 +743,35 @@ def al_ilqr_solve_pallas(
 ) -> BatchedALILQRSolution:
     """Batched AL-iLQR via the fused Pallas kernel; mirrors
     ``vmap(al_ilqr_solve)`` on the parking OCP family (with per-scenario
-    Levenberg/line-search/μ adaptivity instead of per-solve scalars)."""
+    Levenberg/line-search/μ adaptivity instead of per-solve scalars).
+
+    ``refs`` (round 3): optional per-scenario tracking reference windows —
+    stage cost becomes ``(x_k − ref_k)ᵀQ(x_k − ref_k)`` (terminal likewise),
+    turning the kernel into the racing-tier lap tracker
+    (:class:`...solvers.nmpc_tracking.TrackingNMPC` semantics, batched). With
+    ``refs=None`` the regulation (parking) code path is unchanged.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     f32 = jnp.float32
     B = x0s.shape[0]
     nc = 2 * NX + 2 * NU + n_circles * n_circles
+    track = refs is not None
 
     Bp = ((B + tile - 1) // tile) * tile
     pad = Bp - B
     x0_l = jnp.transpose(x0s.astype(f32))  # (4, B)
     u0_l = jnp.transpose(u_init.astype(f32), (1, 2, 0))  # (N, 2, B)
     pp_l = jnp.stack([acc.astype(f32), fric.astype(f32)])  # (2, B)
+    if track:
+        ref_l = jnp.transpose(refs.astype(f32), (1, 2, 0))  # (N+1, 4, B)
     if pad:
         x0_l = jnp.pad(x0_l, ((0, 0), (0, pad)))
         u0_l = jnp.pad(u0_l, ((0, 0), (0, 0), (0, pad)))
         # padded lanes get benign params (ones) to avoid 0-division noise
         pp_l = jnp.pad(pp_l, ((0, 0), (0, pad)), constant_values=1.0)
+        if track:
+            ref_l = jnp.pad(ref_l, ((0, 0), (0, 0), (0, pad)))
 
     kernel = functools.partial(
         _alilqr_tile_kernel,
@@ -744,6 +792,7 @@ def al_ilqr_solve_pallas(
         reg_init=1.0,
         reg_min=1e-8,
         reg_max=1e8,
+        track=track,
     )
 
     grid = (Bp // tile,)
@@ -752,10 +801,16 @@ def al_ilqr_solve_pallas(
         (a, r, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
 
+    in_specs = [spec2(NX), spec3(N, NU), spec2(2)]
+    inputs = [x0_l, u0_l, pp_l]
+    if track:
+        in_specs.append(spec3(N + 1, NX))
+        inputs.append(ref_l)
+
     us_l, xs_l, viol_l, conv_l = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec2(NX), spec3(N, NU), spec2(2)],
+        in_specs=in_specs,
         out_specs=[spec3(N, NU), spec3(N + 1, NX), spec2(1), spec2(1)],
         out_shape=[
             jax.ShapeDtypeStruct((N, NU, Bp), f32),
@@ -787,7 +842,7 @@ def al_ilqr_solve_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x0_l, u0_l, pp_l)
+    )(*inputs)
 
     us = jnp.transpose(us_l, (2, 0, 1))[:B]
     xs = jnp.transpose(xs_l, (2, 0, 1))[:B]

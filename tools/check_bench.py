@@ -20,8 +20,58 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
+def check_racing(contract_all) -> bool:
+    """Racing-sweep gate (round 3): throughput + success + tracking floors via
+    the ``racesweep`` CLI (its second run measures the compiled device loop)."""
+    c = contract_all.get("racing_sweep")
+    if c is None:
+        return True
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "model_predictive_control_tpu.cli",
+            "racesweep", "--batch", "2048", "--steps", "50",
+        ],
+        capture_output=True, text=True, timeout=1500, cwd=ROOT,
+    )
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        print("BENCH GATE: racesweep failed", file=sys.stderr)
+        return False
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    ok = True
+    if r["solves_per_s"] < c["floor_solves_per_s"]:
+        print(
+            f"BENCH GATE: racing throughput regression — {r['solves_per_s']:.3g}"
+            f" < floor {c['floor_solves_per_s']:.3g}", file=sys.stderr,
+        )
+        ok = False
+    if r["success_rate"] < c["floor_success_rate"]:
+        print(
+            f"BENCH GATE: racing success regression — {r['success_rate']}"
+            f" < floor {c['floor_success_rate']}", file=sys.stderr,
+        )
+        ok = False
+    if r["mean_tracking_error"] > c["ceiling_mean_tracking_error_m"]:
+        print(
+            f"BENCH GATE: racing tracking regression — "
+            f"{r['mean_tracking_error']:.4f} m > ceiling "
+            f"{c['ceiling_mean_tracking_error_m']} m", file=sys.stderr,
+        )
+        ok = False
+    if ok:
+        print(
+            f"BENCH GATE: racing ok — {r['solves_per_s']:.3g} solves/s, "
+            f"success {r['success_rate']:.4f}, "
+            f"mean err {r['mean_tracking_error']:.4f} m"
+        )
+    return ok
+
+
 def main() -> int:
-    contract = json.loads((ROOT / "BENCH_CONTRACT.json").read_text())["headline"]
+    contract_all = json.loads((ROOT / "BENCH_CONTRACT.json").read_text())
+    contract = contract_all["headline"]
     proc = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")],
         capture_output=True,
@@ -37,7 +87,7 @@ def main() -> int:
     line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
     result = json.loads(line)
 
-    ok = True
+    ok = check_racing(contract_all)
     if result["value"] < contract["floor_solves_per_s"]:
         print(
             f"BENCH GATE: throughput regression — {result['value']:.3g} solves/s "
