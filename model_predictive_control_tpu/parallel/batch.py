@@ -769,3 +769,120 @@ def racing_sweep(
         "backend": backend,
     }
     return res, summary
+
+
+# ---------------------------------------------------------------------------
+# Robust tier: batched tube-MPC sweep on the fused ADMM kernel (round 3)
+# ---------------------------------------------------------------------------
+
+
+def tube_sweep(
+    batch: int,
+    steps: int,
+    key=None,
+    N: int = 20,
+    w_half=(0.0, 0.45),
+    iters: int = 100,
+    tile: int = 2048,
+    backend: str = "pallas",
+    rho: float = 0.1,
+    mesh=None,
+    dtype=jnp.float32,
+) -> tuple[BatchSimResult, dict]:
+    """Batched rigid-tube robust MPC under adversarial corner disturbances
+    (session-2 braking-wall scenario, headline N=20 geometry): the tube
+    controller's nominal tightened solve rides the fused Pallas ADMM kernel,
+    the tube correction is two batched matvecs — the robust stack's
+    throughput story next to the nominal 5.8M/s headline (VERDICT r2 item 1).
+
+    Every scenario draws a random start and an independent corner-sequence
+    disturbance realization; the summary reports the certified-tube and
+    original-box violation rates alongside throughput inputs.
+    """
+    import model_predictive_control_tpu as mpc
+    from ..solvers.tube import make_tube_mpc
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_x0, k_w = jax.random.split(key)
+
+    problem = mpc.session2_problem(N=N)
+    tube = make_tube_mpc(
+        problem, np.asarray(w_half, np.float64), iters=iters, dtype=dtype,
+        rho=rho,
+    )
+    system = problem.system(dtype)
+
+    # feasible-start sampling: v capped below the tightened v-box AND p far
+    # enough from the wall that worst-case braking (u_min tightened, plus the
+    # disturbance pushing forward every step) still stops before it —
+    # stopping distance v²/(2·|u_eff|) plus margin. Without this, corner draws
+    # (v ≈ 24 at p ≈ −20) are kinematically doomed for ANY controller and the
+    # sweep reports violations no tube can prevent.
+    zm = np.asarray(tube.z_margin, np.float64)
+    um = np.asarray(tube.u_margin, np.float64)
+    v_hi = min(15.0, float(problem.v_max - zm[1] - 1.0))
+    u_eff = abs(float(problem.u_min)) - float(um[0]) - float(w_half[1]) / problem.Ts
+    v = jax.random.uniform(
+        jax.random.fold_in(k_x0, 1), (batch,), minval=-15.0, maxval=v_hi
+    )
+    stop_dist = jnp.maximum(v, 0.0) ** 2 / (2.0 * max(u_eff, 1.0))
+    p_hi = float(problem.p_max - zm[0]) - 2.0 - stop_dist - jnp.maximum(v, 0.0) * problem.Ts
+    p = -140.0 + jax.random.uniform(k_x0, (batch,)) * (p_hi + 140.0)
+    x0s = jnp.stack([p, v], axis=1).astype(dtype)
+    w = (
+        jax.random.choice(k_w, jnp.asarray([-1.0, 1.0]), shape=(steps, batch, 2))
+        * jnp.asarray(w_half)
+    ).astype(dtype)
+
+    # jitted-segment cache (the parking_sweep re-tracing trap): keys are the
+    # static knobs; the scenario data flows as arguments
+    cfg = ("tube", N, tuple(float(v) for v in w_half), iters, tile, backend,
+           float(rho), steps, jnp.dtype(dtype).name)
+    seg = _SEGMENT_CACHE.get(cfg)
+    if seg is None:
+        from ..utils.precision import solver_precision
+
+        policy = tube.batched_policy(
+            backend=backend, tile=tile, max_rho_moves=0
+        )
+
+        # HIGHEST precision for the whole certificate-grade segment: at TPU
+        # bf16 default even the PLANT matvec injects O(0.1) error at p ≈ −140
+        # — an un-modeled disturbance outside W that voids the tube guarantee
+        # (measured: 31% original-box violations, all from precision, none
+        # from the controller)
+        @solver_precision
+        def seg_fn(x0s_, w_, carry_):
+            return simulate_batch(
+                x0s_, system, steps, policy, carry_, disturbances=w_
+            )
+
+        seg = jax.jit(seg_fn)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[cfg] = seg
+
+    # deep adaptive presolve at the initial (nominal) states lifts step 0 to
+    # the warm-started success rate (the bench.py pattern)
+    inner_warm = tube.inner.presolve_batch_carry(
+        x0s, iters_mult=4, backend=backend, tile=tile
+    )
+    carry0 = (x0s, inner_warm)
+    res = seg(x0s, w, carry0)
+
+    x_lo = jnp.asarray([problem.p_min, problem.v_min], dtype)
+    x_hi = jnp.asarray([problem.p_max, problem.v_max], dtype)
+    viol = jnp.any(
+        (res.states > x_hi + 1e-4) | (res.states < x_lo - 1e-4), axis=(0, 2)
+    )
+    summary = {
+        "batch": int(batch),
+        "steps": int(steps),
+        "success_rate": float(
+            jnp.mean(res.logs["solver_success"].astype(jnp.float32))
+        ),
+        "tube_ok_rate": float(jnp.mean(res.logs["tube_ok"].astype(jnp.float32))),
+        "original_box_violation_frac": float(jnp.mean(viol.astype(jnp.float32))),
+        "backend": backend,
+    }
+    return res, summary

@@ -32,6 +32,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ..utils.precision import solver_precision
 from ..utils.pytree import pytree_dataclass
 from ..control.simulate import Policy
 from ..models.linear import LinearSystem
@@ -105,6 +106,9 @@ class OffsetFreeMPC:
         Bd, Cd, L = self.Bd, self.Cd, self.L
         nx = A.shape[0]
 
+        # HIGHEST matmul precision: observer/target matvecs at TPU-default
+        # bf16 bias the disturbance estimate at session-2 magnitudes
+        @solver_precision
         def policy_fn(y, t, carry):
             x_hat, d_hat, warm = carry
             # innovation correction of the augmented estimate
@@ -163,6 +167,7 @@ class OffsetFreeMPC:
         qp, op = self.inner.qp, self.inner.op
         N, nu = qp.N, qp.nu
 
+        @solver_precision
         def policy_fn(y_batch, t, carry):
             x_hat, d_hat, (warm_x, warm_y) = carry
             innov = y_batch - (x_hat @ C.T + d_hat @ Cd.T)

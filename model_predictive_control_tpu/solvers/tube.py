@@ -40,6 +40,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ..utils.precision import solver_precision
 from ..utils.pytree import pytree_dataclass, static_field
 from ..control.simulate import Policy
 from .linear_mpc import (
@@ -142,6 +143,11 @@ class TubeMPC:
         cross-section) — the robust analog of ``solver_success``.
         """
 
+        # HIGHEST matmul precision: the tube certificate is only as good as
+        # the z/e/u matvecs — at bf16 default on TPU the nominal update
+        # injects O(0.1) effective disturbance at session-2 magnitudes,
+        # blowing the certified mRPI supports (measured: tube_ok 0.88)
+        @solver_precision
         def policy_fn(x, t, carry):
             z, warm = carry
             v_traj, sol = self.inner.solve(z, warm=warm)
@@ -172,6 +178,9 @@ class TubeMPC:
         """
         inner_fn = self.inner.batched_policy(**kw)
 
+        # HIGHEST precision for the tube matvecs (see policy()); the inner
+        # kernel manages its own precision internally
+        @solver_precision
         def policy_fn(x_batch, t, carry):
             z, inner_carry = carry
             v0, inner_carry, aux = inner_fn(z, t, inner_carry)

@@ -364,3 +364,14 @@ class TestOffsetFreeGeneral:
                 np.asarray(res_b.inputs[:, i]), np.asarray(res_s.inputs),
                 atol=1e-6,
             )
+
+
+def test_tube_sweep_certificates_hold():
+    """Batched tube sweep (fused-kernel path): certified tube and original
+    boxes hold for every scenario under adversarial corner disturbances."""
+    from model_predictive_control_tpu.parallel.batch import tube_sweep
+
+    res, s = tube_sweep(batch=8, steps=8, tile=8)
+    assert s["tube_ok_rate"] == 1.0
+    assert s["original_box_violation_frac"] == 0.0
+    assert s["success_rate"] > 0.9
