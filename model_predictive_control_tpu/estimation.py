@@ -194,6 +194,68 @@ class MHE:
         X = (self.Phi @ x0 + shift + self.Gamma_w @ w).reshape(M, nx)
         return X[-1], jnp.concatenate([x0[None, :], X], axis=0), w.reshape(M, nx), sol
 
+    def solve_batch(
+        self, xbars, us, ys, backend: str = "pallas", tile: int = 256,
+        warm=None,
+    ):
+        """Batched window solves on the fused Pallas ADMM kernel (the claim
+        the per-window (q, l, u) split exists for): ``xbars (B, nx)``,
+        ``us (B, M, nu)``, ``ys (B, M+1, ny)`` → ``(x̂_M (B, nx),
+        X (B, M+1, nx), ŵ (B, M, nx), QPSolution)``.
+
+        ``backend="xla"`` vmaps the scalar solver (reference path). ``warm``:
+        optional ``(x (B, nz), y (B, rows))`` from a previous batch of
+        windows (receding-horizon MHE shares the MPC warm-start economics).
+        """
+        import jax as _jax
+
+        if self.op is None:
+            raise ValueError(
+                "this MHE was built without state bounds; vmap "
+                "solve_unconstrained instead"
+            )
+        nx, M = self.nx, self.M
+        q = _jax.vmap(self._linear_term)(xbars, us, ys)
+        shift = us.reshape(us.shape[0], -1) @ self.Gamma_u.T
+        l = jnp.concatenate(
+            [jnp.broadcast_to(self.x_lb[:nx], (q.shape[0], nx)),
+             self.x_lb - shift], axis=1
+        )
+        u_b = jnp.concatenate(
+            [jnp.broadcast_to(self.x_ub[:nx], (q.shape[0], nx)),
+             self.x_ub - shift], axis=1
+        )
+        if backend == "pallas":
+            from .ops.pallas.admm_kernel import admm_solve_pallas
+
+            wx, wy = warm if warm is not None else (None, None)
+            sol = admm_solve_pallas(
+                self.op, q, l, u_b, wx, wy, iters=self.iters, tile=tile
+            )
+        elif backend == "xla":
+            if warm is None:
+                sol = _jax.vmap(
+                    lambda qq, ll, uu: admm_solve(
+                        self.op, qq, ll, uu, iters=self.iters
+                    )
+                )(q, l, u_b)
+            else:
+                sol = _jax.vmap(
+                    lambda qq, ll, uu, wx, wy: admm_solve(
+                        self.op, qq, ll, uu, iters=self.iters, warm=(wx, wy)
+                    )
+                )(q, l, u_b, *warm)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        z = sol.x
+        x0 = z[:, :nx]
+        w = z[:, nx:]
+        X = (
+            x0 @ self.Phi.T + shift + w @ self.Gamma_w.T
+        ).reshape(-1, M, nx)
+        X_full = jnp.concatenate([x0[:, None, :], X], axis=1)
+        return X[:, -1], X_full, w.reshape(-1, M, nx), sol
+
     def solve_unconstrained(self, xbar, us, ys):
         """Closed-form window solve (no state bounds): H z = −q."""
         q = self._linear_term(xbar, us, ys)

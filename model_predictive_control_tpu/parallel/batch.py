@@ -886,3 +886,99 @@ def tube_sweep(
         "backend": backend,
     }
     return res, summary
+
+
+def stochastic_sweep(
+    batch: int,
+    steps: int,
+    key=None,
+    N: int = 20,
+    sigma_v: float = 0.12,
+    eps: float = 0.1,
+    iters: int = 200,
+    tile: int = 2048,
+    backend: str = "pallas",
+    rho: float = 0.01,
+    dtype=jnp.float32,
+) -> tuple[BatchSimResult, dict]:
+    """Batched chance-constrained MPC under Gaussian velocity noise on the
+    v_max-riding cruise phase (session-2/3 semantics): Monte-Carlo validation
+    of the ε-level at pod scale, on the fused ADMM kernel.
+
+    Reports the violation rate among near-limit steps (where a bound rides —
+    the set the chance constraint certifies) for the tightened controller;
+    it must sit at or below ``eps`` where the nominal controller's is ~0.5.
+
+    ``rho=0.01`` is tuned for THIS family (persistent noise keeps the active
+    set churning every step, so the dual residual dominates — measured
+    success 0.69 at the headline's ρ=0.1/100 iters vs 0.97 at ρ=0.01/200;
+    the ε-level holds throughout, this is solver health only).
+    """
+    import model_predictive_control_tpu as mpc
+    from ..solvers.stochastic import make_stochastic_mpc
+    from ..utils.precision import solver_precision
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_x0, k_w = jax.random.split(key)
+
+    problem = mpc.session2_problem(N=N)
+    Sigma_w = np.diag([0.0, sigma_v**2])
+    ctrl = make_stochastic_mpc(
+        problem, Sigma_w, eps=eps, iters=iters, dtype=dtype, rho=rho
+    )
+    system = problem.system(dtype)
+
+    x0s = jnp.stack(
+        [
+            jax.random.uniform(k_x0, (batch,), minval=-130.0, maxval=-70.0),
+            jax.random.uniform(
+                jax.random.fold_in(k_x0, 1), (batch,), minval=10.0, maxval=20.0
+            ),
+        ],
+        axis=1,
+    ).astype(dtype)
+    w = jnp.zeros((steps, batch, 2), dtype).at[:, :, 1].set(
+        sigma_v * jax.random.normal(k_w, (steps, batch), dtype)
+    )
+
+    cfg = ("stoch", N, float(sigma_v), float(eps), iters, tile, backend,
+           float(rho), steps, jnp.dtype(dtype).name)
+    seg = _SEGMENT_CACHE.get(cfg)
+    if seg is None:
+        policy = ctrl.batched_policy(
+            backend=backend, tile=tile, max_rho_moves=0
+        )
+
+        @solver_precision  # Monte-Carlo ε-validation is certificate-grade too
+        def seg_fn(x0s_, w_, carry_):
+            return simulate_batch(
+                x0s_, system, steps, policy, carry_, disturbances=w_
+            )
+
+        seg = jax.jit(seg_fn)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[cfg] = seg
+
+    inner_warm = ctrl.inner.presolve_batch_carry(
+        x0s, iters_mult=4, backend=backend, tile=tile
+    )
+    res = seg(x0s, w, inner_warm)
+
+    v = res.states[1:, :, 1]
+    near = v > problem.v_max - 3.0 * sigma_v
+    viol = v > problem.v_max
+    n_near = jnp.maximum(jnp.sum(near.astype(jnp.float32)), 1.0)
+    summary = {
+        "batch": int(batch),
+        "steps": int(steps),
+        "eps": float(eps),
+        "success_rate": float(
+            jnp.mean(res.logs["solver_success"].astype(jnp.float32))
+        ),
+        "near_limit_violation_rate": float(
+            jnp.sum(viol.astype(jnp.float32)) / n_near
+        ),
+        "backend": backend,
+    }
+    return res, summary

@@ -375,3 +375,13 @@ def test_tube_sweep_certificates_hold():
     assert s["tube_ok_rate"] == 1.0
     assert s["original_box_violation_frac"] == 0.0
     assert s["success_rate"] > 0.9
+
+
+def test_stochastic_sweep_chance_level_holds():
+    """Batched chance-constrained sweep (fused-kernel path): the Monte-Carlo
+    violation rate among near-limit steps stays at or below the design eps."""
+    from model_predictive_control_tpu.parallel.batch import stochastic_sweep
+
+    res, s = stochastic_sweep(batch=24, steps=25, tile=24)
+    assert s["near_limit_violation_rate"] <= s["eps"] + 0.02
+    assert s["success_rate"] > 0.9

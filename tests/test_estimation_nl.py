@@ -181,3 +181,37 @@ def test_bicycle_bound_ekf_infeasible_mhe_feasible():
     rmse_ekf = float(np.sqrt(np.mean((ekf_v - true_v) ** 2)))
     rmse_mhe = float(np.sqrt(np.mean((mhe_v - true_v) ** 2)))
     assert rmse_mhe < rmse_ekf  # ... and is (slightly) more accurate for it
+
+
+def test_linear_mhe_batched_solve_matches_scalar():
+    """The linear MHE's fused-kernel batch path (round 3: the docstring claim
+    made real): solve_batch == per-window scalar solves, both backends."""
+    system, Qw, Rv, _, _ = _linear_setup()
+    M, B = 6, 5
+    P0 = jnp.asarray([[0.5, 0.1], [0.1, 0.3]], jnp.float64)
+    mhe = est.make_mhe(
+        system, Qw, Rv, P0, M,
+        x_min=jnp.asarray([-5.0, -3.0]), x_max=jnp.asarray([5.0, 3.0]),
+    )
+    key = jax.random.PRNGKey(11)
+    xbars = jax.random.uniform(key, (B, 2), jnp.float64, -1.0, 1.0)
+    us = 0.2 * jax.random.normal(
+        jax.random.fold_in(key, 1), (B, M, 1), jnp.float64
+    )
+    ys = jax.random.normal(
+        jax.random.fold_in(key, 2), (B, M + 1, 1), jnp.float64
+    )
+
+    for backend in ("xla", "pallas"):
+        xM_b, X_b, w_b, sol = mhe.solve_batch(xbars, us, ys, backend=backend)
+        atol = 1e-8 if backend == "xla" else 5e-4
+        for i in range(B):
+            xM_s, X_s, w_s, _ = mhe.solve(xbars[i], us[i], ys[i])
+            np.testing.assert_allclose(
+                np.asarray(xM_b[i]), np.asarray(xM_s), atol=atol,
+                err_msg=backend,
+            )
+            np.testing.assert_allclose(
+                np.asarray(X_b[i]), np.asarray(X_s), atol=atol,
+                err_msg=backend,
+            )
