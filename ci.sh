@@ -3,11 +3,13 @@
 #   smoke — <90 s representative gate, run on every change
 #   quick — everything not marked slow, per PR
 #   full  — the whole suite incl. oracle-heavy golden tests, nightly
-# Measured on the 2-CPU box (round-2 judge run): smoke 62 s, quick 7:05,
-# slow tier ~17 min total run in <10-min chunks. Per-FILE wall-time budget:
-# tests/conftest.py fails the session if any single test file exceeds
-# MPC_FILE_BUDGET_S (default 540 s), so the slow tier stays chunkable as
-# rounds add tests. Tests force CPU + 8 virtual devices + x64 via conftest.
+# Measured on the 2-CPU box (round-3 run, 2026-08-21): smoke ~80 s, quick
+# ~14 min (run in two chunks of 8:52 + 5:06 when a 10-min window applies),
+# slow tier ~32 min total run in five <10-min chunks (9:19 / 7:52 / 5:06 /
+# 7:00 / 3:08). Per-FILE wall-time budget: tests/conftest.py fails the
+# session if any single test file exceeds MPC_FILE_BUDGET_S (default 540 s),
+# so the tiers stay chunkable as rounds add tests. Tests force CPU + 8
+# virtual devices + x64 via conftest.
 set -e
 cd "$(dirname "$0")"
 tier="${1:-smoke}"

@@ -982,3 +982,145 @@ def stochastic_sweep(
         "backend": backend,
     }
     return res, summary
+
+
+def racing_sweep_dynamic(
+    batch: int,
+    steps: int,
+    key=None,
+    N: int = 15,
+    ts: float = 0.05,
+    speed: float = 1.2,
+    rel_scale: float = 0.05,
+    perturb_fields=("df", "dr", "friction"),
+    outer_iters: int = 6,
+    inner_iters: int = 15,
+    plant_substeps: int = 16,
+    pred_substeps: int = 4,
+    dtype=jnp.float32,
+) -> tuple[BatchSimResult, dict]:
+    """Dynamic-tier (6-state Pacejka single-track) lap-tracking sweep — the
+    racing flagship at speed beyond the kinematic cap, batched via the vmapped
+    XLA AL-iLQR (the fused kernel is 4-state/kinematic by design; at nx=6
+    with substepped-RK4 prediction the XLA path is the correct backend).
+
+    Perturbs the TIRE peak factors (Pacejka ``df``/``dr``) and friction —
+    the parameter surface the reference ships but never drives
+    (``session_4/parameters.py:24-43``) — while the controller keeps the
+    nominal model: grip mismatch at speed, the racing analog of exercise 5.
+    """
+    from ..experiments.racing import (
+        Q_DYNAMIC,
+        QN_SCALE,
+        R_DYNAMIC,
+        ellipse_reference,
+    )
+    from ..models.bicycle import NX_DYNAMIC, dynamic_bicycle_ode
+    from ..solvers.ilqr import ILQRProblem, al_ilqr_solve
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_par, k_x0 = jax.random.split(key)
+
+    base = VehicleParameters()
+    plant_params = perturb_parameters(
+        k_par, base, batch, rel_scale=rel_scale, fields=perturb_fields,
+        dtype=dtype,
+    )
+    ref = ellipse_reference(
+        steps + N + 1, speed=speed, ts=ts, dynamic=True, dtype=dtype
+    )
+    noise = jax.random.uniform(
+        k_x0, (batch, NX_DYNAMIC), minval=-1.0, maxval=1.0, dtype=dtype
+    ) * jnp.asarray([0.05, 0.05, 0.1, 0.05, 0.01, 0.05], dtype)
+    x0s = ref[0] + noise
+
+    Qd = jnp.asarray(Q_DYNAMIC, dtype)
+    Rd = jnp.asarray(R_DYNAMIC, dtype)
+    QNd = QN_SCALE * Qd
+    lb_u = jnp.asarray([base.min_drive, -base.max_steer], dtype)
+    ub_u = jnp.asarray([base.max_drive, base.max_steer], dtype)
+    pred_step = rk4_fine(
+        lambda x, u: dynamic_bicycle_ode(base, x, u), ts,
+        substeps=pred_substeps,
+    )
+    nc = 2 * NU
+
+    def solve_one(x, warm, window):
+        def stage_cost(xx, uu, t):
+            e = xx - window[t]
+            return e @ (Qd * e) + uu @ (Rd * uu)
+
+        prob = ILQRProblem(
+            dynamics=lambda xx, uu, t: pred_step(xx, uu),
+            stage_cost=stage_cost,
+            terminal_cost=lambda xx: (xx - window[N]) @ (QNd * (xx - window[N])),
+            N=N, nx=NX_DYNAMIC, nu=NU,
+        )
+        cons = lambda xx, uu, t: jnp.concatenate([uu - ub_u, lb_u - uu])
+        sol = al_ilqr_solve(
+            prob, cons, nc, x, u_init=warm.reshape(N, NU),
+            outer_iters=outer_iters, inner_iters=inner_iters, viol_tol=1e-4,
+        )
+        u_next = jnp.concatenate([sol.us[1:], sol.us[-1:]], axis=0)
+        return sol.us[0], u_next.reshape(N * NU), sol.converged, sol.viol
+
+    def policy(x_batch, t, carry):
+        window = jax.lax.dynamic_slice_in_dim(ref, t, N + 1, axis=0)
+        u0, warm, conv, viol = jax.vmap(
+            lambda x, w: solve_one(x, w, window)
+        )(x_batch, carry)
+        aux = {
+            "solver_success": conv,
+            "viol": viol,
+            "tracking_error": jnp.linalg.norm(
+                x_batch[:, :2] - window[0][:2], axis=-1
+            ),
+        }
+        return u0, warm, aux
+
+    def plant_step(params, x, u):
+        f = lambda xx, uu: dynamic_bicycle_ode(params, xx, uu)
+        return rk4_fine(f, ts, substeps=plant_substeps)(x, u)
+
+    axes = jax.tree.map(
+        lambda l: 0 if jnp.ndim(l) > 0 else None, plant_params
+    )
+    plant_b = jax.vmap(plant_step, in_axes=(axes, 0, 0))
+
+    # jitted-segment cache (the standard re-tracing trap): ref table and
+    # perturbed parameters flow as arguments
+    # speed is in the key because the policy closes over the ref table
+    cfg = ("racing-dyn", N, float(ts), steps, float(speed), outer_iters,
+           inner_iters, plant_substeps, pred_substeps,
+           jnp.dtype(dtype).name, tuple(perturb_fields))
+    seg = _SEGMENT_CACHE.get(cfg)
+    if seg is None:
+        def seg_fn(x0s_, plant_params_, carry_):
+            plant = lambda x, u: plant_b(plant_params_, x, u)
+            return simulate_batch(
+                x0s_, plant, steps, policy, carry_, batched_dynamics=True
+            )
+
+        seg = jax.jit(seg_fn)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[cfg] = seg
+
+    carry0 = initial_warm_carry(batch, N, dtype=dtype)
+    res = seg(x0s, plant_params, carry0)
+
+    err = res.logs["tracking_error"]
+    tail = err[steps // 4 :]
+    summary = {
+        "batch": int(batch),
+        "steps": int(steps),
+        "speed": float(speed),
+        "model": "dynamic-pacejka",
+        "success_rate": float(
+            jnp.mean(res.logs["solver_success"].astype(jnp.float32))
+        ),
+        "mean_tracking_error": float(jnp.mean(tail)),
+        "p95_tracking_error": float(jnp.percentile(tail, 95.0)),
+        "rel_scale": float(rel_scale),
+    }
+    return res, summary
