@@ -29,6 +29,19 @@ Round-2 solver tuning (VERDICT r1 item 2 — the 0.44% convergence tail):
   reaches 0.99988 at 3.0M solves/s (iters=400, fine exit checks). The shipped
   config keeps the throughput point; ``--diagnose`` prints the tail buckets.
 
+Round-3 solver tuning (the roofline's identified gap, partially closed):
+
+- **CG polish off on the warm-started hot path** (``polish=False``): the
+  in-kernel active-set polish earns its cost on cold/single solves (the 1e-4
+  oracle gates) but is redundant once warm starts track the fixed point.
+  Measured variant sweep at the headline config (v5e): baseline 5.83M,
+  polish off **8.52M (+46%)** at success 0.99969 (vs 0.99960 WITH polish),
+  cg_iters=16 6.42M, probe_iters=16 6.12M. Closed-loop equivalence checked
+  at batch 4096×50: final states match the polished path to 2e-9; 38 of
+  204,800 input entries (12 scenarios) differ >0.05 — transient active-set
+  tie-breaks in steps 4–19 where two bang-bang switch orders are equally
+  optimal. The presolve (cold) keeps polish on.
+
 Run ``python bench.py --diagnose`` for the tail breakdown (extra human-readable
 lines before the final JSON line).
 """
@@ -67,7 +80,9 @@ def build():
         )
     )()
     system = problem.system(jnp.float32)
-    policy = ctrl.batched_policy(backend="pallas", tile=TILE, max_rho_moves=0)
+    policy = ctrl.batched_policy(
+        backend="pallas", tile=TILE, max_rho_moves=0, polish=False
+    )
 
     def run_batch(x0s):
         # presolve: one deeper ADAPTIVE solve at the initial states warms step 0
@@ -149,7 +164,8 @@ def main() -> None:
     from model_predictive_control_tpu.obs.roofline import admm_kernel_roofline
 
     roof = admm_kernel_roofline(
-        n=HORIZON, m=3 * HORIZON, iters=ADMM_ITERS, chunks=2
+        n=HORIZON, m=3 * HORIZON, iters=ADMM_ITERS, chunks=2,
+        cg_iters=0,  # polish off on the hot path (round 3)
     ).achieved(solves_per_s)
 
     print(

@@ -356,8 +356,12 @@ def mhe_trajectory(
     the filtering-style arrival mean ``x̄_{k+1} = A x̂₀ + B u_k + ŵ₀`` (the
     smoothed head of the previous window, propagated one step). The arrival
     covariance is held at the build-time ``P₀`` — the standard fixed-arrival
-    approximation (exact covariance propagation would re-derive the KF; use
-    the steady-state :func:`kalman_gain` ``P`` for ``P₀`` in long records).
+    approximation (use the steady-state :func:`kalman_gain` ``P`` for ``P₀``
+    in long records). For EXACT arrival propagation use
+    :class:`..estimation_nl.NonlinearMHE` with linear closures and
+    ``propagate_arrival=True`` — its Rao–Rawlings filtering recursion equals
+    the time-varying KF to 1e-9 in the linear limit
+    (``tests/test_estimation_nl.py``).
 
     Returns the stacked window-end estimates, shape ``(T − M + 1, nx)``.
     """

@@ -72,7 +72,12 @@ def test_bench_config_closed_loop_semantics():
     ).astype(jnp.float32)
 
     def run(backend, tile):
-        policy = ctrl.batched_policy(backend=backend, tile=tile, max_rho_moves=0)
+        # polish=False on the kernel hot path mirrors the round-3 bench
+        # config (warm starts make the CG polish redundant, +46% measured)
+        kw = {"polish": False} if backend == "pallas" else {}
+        policy = ctrl.batched_policy(
+            backend=backend, tile=tile, max_rho_moves=0, **kw
+        )
         carry = ctrl.presolve_batch_carry(x0s, iters_mult=4, backend=backend, tile=tile)
         return simulate_batch(x0s, system, steps, policy, carry)
 
