@@ -786,6 +786,7 @@ def tube_sweep(
     tile: int = 2048,
     backend: str = "pallas",
     rho: float = 0.1,
+    polish: bool = False,
     mesh=None,
     dtype=jnp.float32,
 ) -> tuple[BatchSimResult, dict]:
@@ -837,13 +838,14 @@ def tube_sweep(
     # jitted-segment cache (the parking_sweep re-tracing trap): keys are the
     # static knobs; the scenario data flows as arguments
     cfg = ("tube", N, tuple(float(v) for v in w_half), iters, tile, backend,
-           float(rho), steps, jnp.dtype(dtype).name)
+           float(rho), steps, polish, jnp.dtype(dtype).name)
     seg = _SEGMENT_CACHE.get(cfg)
     if seg is None:
         from ..utils.precision import solver_precision
 
+        kw = {"polish": polish} if backend == "pallas" else {}
         policy = tube.batched_policy(
-            backend=backend, tile=tile, max_rho_moves=0
+            backend=backend, tile=tile, max_rho_moves=0, **kw
         )
 
         # HIGHEST precision for the whole certificate-grade segment: at TPU
@@ -899,6 +901,7 @@ def stochastic_sweep(
     tile: int = 2048,
     backend: str = "pallas",
     rho: float = 0.01,
+    polish: bool = False,
     dtype=jnp.float32,
 ) -> tuple[BatchSimResult, dict]:
     """Batched chance-constrained MPC under Gaussian velocity noise on the
@@ -942,11 +945,12 @@ def stochastic_sweep(
     )
 
     cfg = ("stoch", N, float(sigma_v), float(eps), iters, tile, backend,
-           float(rho), steps, jnp.dtype(dtype).name)
+           float(rho), steps, polish, jnp.dtype(dtype).name)
     seg = _SEGMENT_CACHE.get(cfg)
     if seg is None:
+        kw = {"polish": polish} if backend == "pallas" else {}
         policy = ctrl.batched_policy(
-            backend=backend, tile=tile, max_rho_moves=0
+            backend=backend, tile=tile, max_rho_moves=0, **kw
         )
 
         @solver_precision  # Monte-Carlo ε-validation is certificate-grade too
