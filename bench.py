@@ -41,6 +41,16 @@ Round-3 solver tuning (the roofline's identified gap, partially closed):
   204,800 input entries (12 scenarios) differ >0.05 — transient active-set
   tie-breaks in steps 4–19 where two bang-bang switch orders are equally
   optimal. The presolve (cold) keeps polish on.
+- **Exit-probe at 16 + 2x presolve + 80-iteration cap** (stacked on polish
+  off): warm solves typically pass the FIRST exit check — moving it from 32
+  to 16 iterations is +7% (9.12M); the 4x cold-presolve budget bought
+  nothing over 2x (success 0.99971 at either); and with exits doing the
+  work the 100-iteration cap can drop to 80 (the straggler budget, not the
+  typical path). Shipped: **10.09M solves/s at success 0.99965** —
+  1009× the north star, +72% over the round-2 point at HIGHER success
+  (combination sweep: p16-pre2-i100 9.56M @ 0.99971, p16-pre2-i80 10.09M @
+  0.99965, i120 8.65M @ 0.99975; the shipped point crosses 10M while
+  keeping success above the round-2 recorded 0.9996).
 
 Run ``python bench.py --diagnose`` for the tail breakdown (extra human-readable
 lines before the final JSON line).
@@ -61,7 +71,9 @@ from model_predictive_control_tpu.control.batch_loop import simulate_batch
 BATCH = 65536
 STEPS = 50
 HORIZON = 20
-ADMM_ITERS = 100
+ADMM_ITERS = 80  # r3: warm solves exit early; 80-cap at probe 16 (docstring)
+PROBE_ITERS = 16  # r3: first exit check after 16 iters (warm solves pass it)
+PRESOLVE_MULT = 2  # r3: 2x-budget adaptive cold presolve (4x bought nothing)
 RHO = 0.035  # tuned fixed rho (see module docstring); r1 adaptive default: 0.1
 # tile sweep on v5e (65k batch, 50 steps, per-scenario early exit in kernel):
 # 512 → 4.74M, 1024 → 4.90M, 2048 → knee ~5.1M, 4096 ≈ flat. 100 MB scoped
@@ -81,14 +93,15 @@ def build():
     )()
     system = problem.system(jnp.float32)
     policy = ctrl.batched_policy(
-        backend="pallas", tile=TILE, max_rho_moves=0, polish=False
+        backend="pallas", tile=TILE, max_rho_moves=0, polish=False,
+        probe_iters=PROBE_ITERS,
     )
 
     def run_batch(x0s):
         # presolve: one deeper ADAPTIVE solve at the initial states warms step 0
         # up to the steady-state success rate; timed as part of the episode
         # (honest cost). Cold solves need rho adaptation; warm ones don't.
-        carry = ctrl.presolve_batch_carry(x0s, iters_mult=4, tile=TILE)
+        carry = ctrl.presolve_batch_carry(x0s, iters_mult=PRESOLVE_MULT, tile=TILE)
         res = simulate_batch(x0s, system, STEPS, policy, carry)
         return res.states[-1], res.logs["solver_success"]
 

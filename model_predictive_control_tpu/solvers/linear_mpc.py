@@ -345,6 +345,7 @@ class LinearMPC:
         self, backend: str = "pallas", tile: int = 256, chunks: int = 2,
         max_rho_moves: int | None = None, schedule: str = "uniform",
         alpha: float = 1.6, polish: bool = True,
+        probe_iters: int | None = None,
     ):
         """Batch-level receding-horizon policy for
         :func:`~..control.batch_loop.simulate_batch`.
@@ -377,10 +378,12 @@ class LinearMPC:
             if backend == "pallas":
                 from ..ops.pallas.admm_kernel import admm_solve_pallas
 
+                kw = {} if probe_iters is None else {"probe_iters": probe_iters}
                 sol = admm_solve_pallas(
                     self.op, q, l, u, warm_x, warm_y, iters=self.iters,
                     chunks=chunks, max_rho_moves=max_rho_moves,
                     schedule=schedule, tile=tile, alpha=alpha, polish=polish,
+                    **kw,
                 )
             elif backend == "xla":
                 sol = jax.vmap(
