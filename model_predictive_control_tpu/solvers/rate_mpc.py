@@ -238,19 +238,24 @@ def make_rate_limited_mpc(
     dtype=jnp.float32,
     rho: float = 0.1,
 ) -> RateLimitedMPC:
-    """Session-2/3 problem + symmetric slew bound ``|Δu| ≤ du_max`` per step
-    (physical units per Ts) and optional scalar smoothing weight."""
-    system = problem.system(dtype)
+    """Session-2/3 :class:`~.linear_mpc.Problem` data or any general
+    :class:`~.linear_mpc.BoxProblem`, plus a symmetric slew bound
+    ``|Δu| ≤ du_max`` per step (physical units per Ts) and optional scalar
+    smoothing weight."""
+    from .linear_mpc import as_box_problem
+
+    box = as_box_problem(problem)
+    system = box.system(dtype)
     A, B = system.A, system.B
     nx, nu = B.shape
-    Q = jnp.diag(jnp.asarray(problem.Q, dtype))
-    R = jnp.diag(jnp.asarray(problem.R, dtype))
+    Q = jnp.asarray(box.Q, dtype)
+    R = jnp.asarray(box.R, dtype)
     qp = build_rate_condensed_qp(
-        A, B, Q, R, Q, problem.N,
-        u_min=jnp.full((nu,), problem.u_min, dtype),
-        u_max=jnp.full((nu,), problem.u_max, dtype),
-        x_min=jnp.asarray([problem.p_min, problem.v_min], dtype),
-        x_max=jnp.asarray([problem.p_max, problem.v_max], dtype),
+        A, B, Q, R, Q, box.N,
+        u_min=jnp.asarray(box.u_min, dtype),
+        u_max=jnp.asarray(box.u_max, dtype),
+        x_min=jnp.asarray(box.x_min, dtype),
+        x_max=jnp.asarray(box.x_max, dtype),
         du_min=jnp.full((nu,), -du_max, dtype),
         du_max=jnp.full((nu,), du_max, dtype),
         du_weight=None if du_weight is None else du_weight * jnp.eye(nu, dtype=dtype),

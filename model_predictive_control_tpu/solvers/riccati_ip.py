@@ -803,20 +803,23 @@ def make_stagewise_mpc(
     backend (``batched_policy(backend="pallas")``) bakes time-invariant bounds
     and rejects the resulting stagewise bounds; use the default XLA backend.
     """
-    sys = problem.system(dtype)
-    Q = jnp.diag(jnp.asarray(problem.Q, dtype=dtype))
-    R = jnp.diag(jnp.asarray(problem.R, dtype=dtype))
+    from .linear_mpc import as_box_problem
+
+    box = as_box_problem(problem)
+    sys = box.system(dtype)
+    Q = jnp.asarray(box.Q, dtype=dtype)
+    R = jnp.asarray(box.R, dtype=dtype)
     if terminal == "dare" or terminal_set:
         from ..ops.riccati import dare_sda
 
         Pf = dare_sda(sys.A, sys.B, Q, R)
     else:
         Pf = Q
-    N_eff = N if N is not None else problem.N
-    x_lb = jnp.asarray([problem.p_min, problem.v_min], dtype=dtype)
-    x_ub = jnp.asarray([problem.p_max, problem.v_max], dtype=dtype)
-    u_lb = jnp.asarray([problem.u_min], dtype=dtype)
-    u_ub = jnp.asarray([problem.u_max], dtype=dtype)
+    N_eff = N if N is not None else box.N
+    x_lb = jnp.asarray(box.x_min, dtype=dtype)
+    x_ub = jnp.asarray(box.x_max, dtype=dtype)
+    u_lb = jnp.asarray(box.u_min, dtype=dtype)
+    u_ub = jnp.asarray(box.u_max, dtype=dtype)
     if terminal_set:
         from .lqr import lqr_terminal_set
 

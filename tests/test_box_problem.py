@@ -385,3 +385,37 @@ def test_stochastic_sweep_chance_level_holds():
     res, s = stochastic_sweep(batch=24, steps=25, tile=24)
     assert s["near_limit_violation_rate"] <= s["eps"] + 0.02
     assert s["success_rate"] > 0.9
+
+
+def test_rate_and_stagewise_mpc_accept_box_problem():
+    """Round-3 completion: the LAST two Problem-hardwired constructors
+    (rate-limited MPC, stagewise Riccati-IP MPC) build and regulate on the
+    3-state / 2-input BoxProblem."""
+    from model_predictive_control_tpu.solvers.rate_mpc import (
+        make_rate_limited_mpc,
+    )
+    from model_predictive_control_tpu.solvers.riccati_ip import (
+        make_stagewise_mpc,
+    )
+
+    box = three_state_problem(N=6)
+    x0 = jnp.asarray([-6.0, 2.0, 1.0], jnp.float64)
+    sys = box.system(jnp.float64)
+
+    rate = make_rate_limited_mpc(box, du_max=1.0, iters=300, dtype=jnp.float64)
+    res_r = mpc.simulate(
+        x0, sys, steps=25, policy=rate.policy(),
+        policy_carry=rate.initial_carry(dtype=jnp.float64),
+    )
+    assert bool(res_r.logs["solver_success"].all())
+    du = jnp.abs(jnp.diff(res_r.inputs, axis=0))
+    assert float(du.max()) <= 1.0 + 1e-6  # the slew bound holds
+    assert float(jnp.linalg.norm(res_r.states[-1])) < 0.5
+
+    st = make_stagewise_mpc(box, iters=25, dtype=jnp.float64)
+    res_s = mpc.simulate(
+        x0, sys, steps=25, policy=st.policy(),
+        policy_carry=st.initial_carry(jnp.float64),
+    )
+    assert bool(res_s.logs["solver_success"].all())
+    assert float(jnp.linalg.norm(res_s.states[-1])) < 0.2
