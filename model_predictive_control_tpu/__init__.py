@@ -124,7 +124,10 @@ from .solvers.offset_free import (
     OffsetFreeMPC,
     make_offset_free_mpc,
 )
-from .solvers.offset_free_nmpc import OffsetFreeNMPC
+from .solvers.offset_free_nmpc import (
+    DisturbanceCompensatedTracking,
+    OffsetFreeNMPC,
+)
 from .estimation_nl import NonlinearMHE
 from .solvers.rate_mpc import (
     RateCondensedQP,
