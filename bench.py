@@ -193,6 +193,10 @@ def main() -> None:
                 "admm_iters": ADMM_ITERS,
                 "success_rate": round(success_rate, 4),
                 "wall_s": round(dt, 3),
+                # serving view: one receding-horizon step for ALL 65k plants
+                # (the reference's real-time budget is 0.3 s per solve,
+                # session_2/problem.py:8 — this is every plant in ~6 ms)
+                "step_latency_ms": round(1e3 * dt / STEPS, 2),
                 "achieved_gflops": roof["achieved_gflops"],
                 "frac_of_peak": roof["frac_of_peak"],
                 "roofline": roof,

@@ -44,7 +44,56 @@ from ..utils.precision import solver_precision
 from .ilqr import ILQRProblem, al_ilqr_solve
 
 
-class OffsetFreeNMPC:
+class _AugmentedEKF:
+    """Shared disturbance-augmented-EKF machinery over ``z = [x; d]``.
+
+    Consumers define ``step_fn``, ``obs_fn``, ``Bd``, ``nx``, ``nd``,
+    ``Qw``, ``Rv_mat``, ``dtype``; class attrs ``_P0X``/``_P0D`` set the
+    default initial covariance blocks of :meth:`initial_carry`.
+    """
+
+    _P0X = 1e-3
+    _P0D = 1e-2
+
+    def _step_aug(self, z, u):
+        x, d = z[: self.nx], z[self.nx :]
+        return jnp.concatenate([self.step_fn(x, u) + self.Bd @ d, d])
+
+    def _obs_aug(self, z):
+        return self.obs_fn(z[: self.nx])
+
+    def _ekf_correct(self, z_pred, P, y):
+        """Correct the augmented estimate with the current measurement
+        (Joseph-form covariance update for f32 PSD safety)."""
+        I = jnp.eye(self.nx + self.nd, dtype=P.dtype)
+        C = jax.jacfwd(self._obs_aug)(z_pred)
+        S = C @ P @ C.T + self.Rv_mat
+        K = jnp.linalg.solve(S.T, (P @ C.T).T).T
+        z = z_pred + K @ (y - self._obs_aug(z_pred))
+        KC = K @ C
+        Pc = (I - KC) @ P @ (I - KC).T + K @ self.Rv_mat @ K.T
+        return z, Pc
+
+    def _ekf_predict(self, z, Pc, u):
+        """Predict the augmented estimate through the applied input."""
+        A = jax.jacfwd(self._step_aug)(z, u)
+        return self._step_aug(z, u), A @ Pc @ A.T + self.Qw
+
+    def initial_carry(self, xhat0, P0_x: float | None = None,
+                      P0_d: float | None = None):
+        z0 = jnp.concatenate(
+            [jnp.asarray(xhat0, self.dtype), jnp.zeros(self.nd, self.dtype)]
+        )
+        P0 = jax.scipy.linalg.block_diag(
+            (self._P0X if P0_x is None else P0_x)
+            * jnp.eye(self.nx, dtype=self.dtype),
+            (self._P0D if P0_d is None else P0_d)
+            * jnp.eye(self.nd, dtype=self.dtype),
+        )
+        return (z0, P0, jnp.zeros((self.N, self.nu), self.dtype))
+
+
+class OffsetFreeNMPC(_AugmentedEKF):
     """Measurement-driven offset-free nonlinear MPC (EKF + target shift over
     AL-iLQR).
 
@@ -134,15 +183,6 @@ class OffsetFreeNMPC:
         self.n_constraints = 2 * nu + (
             0 if self.x_lb is None else 2 * nx
         )
-
-    # -- augmented model ----------------------------------------------------
-
-    def _step_aug(self, z, u):
-        x, d = z[: self.nx], z[self.nx :]
-        return jnp.concatenate([self.step_fn(x, u) + self.Bd @ d, d])
-
-    def _obs_aug(self, z):
-        return self.obs_fn(z[: self.nx])
 
     # -- nonlinear target ---------------------------------------------------
 
@@ -235,30 +275,17 @@ class OffsetFreeNMPC:
         ``ControllerLog`` fields with the estimate/target telemetry.
         """
         nx = self.nx
-        I = jnp.eye(nx + self.nd, dtype=self.dtype)
 
         def policy_fn(y, t, carry):
             z_pred, P, u_warm = carry
-            # correct with the current measurement
-            C = jax.jacfwd(self._obs_aug)(z_pred)
-            S = C @ P @ C.T + self.Rv_mat
-            K = jnp.linalg.solve(S.T, (P @ C.T).T).T
-            z = z_pred + K @ (y - self._obs_aug(z_pred))
-            KC = K @ C
-            Pc = (I - KC) @ P @ (I - KC).T + K @ self.Rv_mat @ K.T
-
+            z, Pc = self._ekf_correct(z_pred, P, y)
             x_hat, d_hat = z[:nx], z[nx:]
             sol, (x_s, u_s, target_res) = self.solve(
                 x_hat, d_hat, u_init=u_warm
             )
             u = sol.us[0]
             u_next = jnp.concatenate([sol.us[1:], sol.us[-1:]], axis=0)
-
-            # predict through the applied input
-            A = jax.jacfwd(self._step_aug)(z, u)
-            z_next = self._step_aug(z, u)
-            P_next = A @ Pc @ A.T + self.Qw
-
+            z_next, P_next = self._ekf_predict(z, Pc, u)
             aux = {
                 "solver_success": sol.converged,
                 "state_prediction": sol.xs[1:],
@@ -274,18 +301,8 @@ class OffsetFreeNMPC:
 
         return policy_fn
 
-    def initial_carry(self, xhat0, P0_x: float = 1e-3, P0_d: float = 1e-2):
-        z0 = jnp.concatenate(
-            [jnp.asarray(xhat0, self.dtype), jnp.zeros(self.nd, self.dtype)]
-        )
-        P0 = jax.scipy.linalg.block_diag(
-            P0_x * jnp.eye(self.nx, dtype=self.dtype),
-            P0_d * jnp.eye(self.nd, dtype=self.dtype),
-        )
-        return (z0, P0, jnp.zeros((self.N, self.nu), self.dtype))
 
-
-class DisturbanceCompensatedTracking:
+class DisturbanceCompensatedTracking(_AugmentedEKF):
     """Offset-free TRACKING: disturbance-augmented EKF + corrected-model
     reference tracking over AL-iLQR — the racing twin of
     :class:`OffsetFreeNMPC` (which regulates to a computed target).
@@ -303,6 +320,9 @@ class DisturbanceCompensatedTracking:
     ``(ẑ, P, u_warm)`` carry); constraints are the input box (+ optional
     state box).
     """
+
+    _P0X = 1e-4
+    _P0D = 1e-3
 
     def __init__(
         self,
@@ -352,13 +372,6 @@ class DisturbanceCompensatedTracking:
         self.reproject = reproject and ts is not None and nx == 4
         self.dtype = dtype
         self.n_constraints = 2 * nu
-
-    def _step_aug(self, z, u):
-        x, d = z[: self.nx], z[self.nx :]
-        return jnp.concatenate([self.step_fn(x, u) + self.Bd @ d, d])
-
-    def _obs_aug(self, z):
-        return self.obs_fn(z[: self.nx])
 
     def _reproject_window(self, window, d_hat):
         """Disturbance-consistent reference re-projection (kinematic 4-state
@@ -444,17 +457,10 @@ class DisturbanceCompensatedTracking:
         """Measurement-driven tracking policy: EKF correct → corrected-model
         window solve → EKF predict. Aux adds the estimate/tracking telemetry."""
         nx = self.nx
-        I = jnp.eye(nx + self.nd, dtype=self.dtype)
 
         def policy_fn(y, t, carry):
             z_pred, P, u_warm = carry
-            C = jax.jacfwd(self._obs_aug)(z_pred)
-            S = C @ P @ C.T + self.Rv_mat
-            K = jnp.linalg.solve(S.T, (P @ C.T).T).T
-            z = z_pred + K @ (y - self._obs_aug(z_pred))
-            KC = K @ C
-            Pc = (I - KC) @ P @ (I - KC).T + K @ self.Rv_mat @ K.T
-
+            z, Pc = self._ekf_correct(z_pred, P, y)
             x_hat, d_hat = z[:nx], z[nx:]
             window = jax.lax.dynamic_slice_in_dim(
                 self.ref_traj, t, self.N + 1, axis=0
@@ -467,11 +473,7 @@ class DisturbanceCompensatedTracking:
             )
             u = sol.us[0]
             u_next = jnp.concatenate([sol.us[1:], sol.us[-1:]], axis=0)
-
-            A = jax.jacfwd(self._step_aug)(z, u)
-            z_next = self._step_aug(z, u)
-            P_next = A @ Pc @ A.T + self.Qw
-
+            z_next, P_next = self._ekf_predict(z, Pc, u)
             aux = {
                 "solver_success": sol.converged,
                 "input_prediction": sol.us,
@@ -484,13 +486,3 @@ class DisturbanceCompensatedTracking:
             return u, (z_next, P_next, u_next), aux
 
         return policy_fn
-
-    def initial_carry(self, xhat0, P0_x: float = 1e-4, P0_d: float = 1e-3):
-        z0 = jnp.concatenate(
-            [jnp.asarray(xhat0, self.dtype), jnp.zeros(self.nd, self.dtype)]
-        )
-        P0 = jax.scipy.linalg.block_diag(
-            P0_x * jnp.eye(self.nx, dtype=self.dtype),
-            P0_d * jnp.eye(self.nd, dtype=self.dtype),
-        )
-        return (z0, P0, jnp.zeros((self.N, self.nu), self.dtype))
