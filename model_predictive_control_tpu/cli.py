@@ -137,6 +137,12 @@ def main(argv=None) -> int:
     pr.add_argument("--horizon", type=int, default=15)
     pr.add_argument("--speed", type=float, default=1.2)
     pr.add_argument(
+        "--wind", type=float, default=None,
+        help="per-step lateral crosswind drift: run the offset-free "
+        "(disturbance-compensated) vs nominal tracker comparison on the "
+        "kinematic tier instead of the plain lap",
+    )
+    pr.add_argument(
         "--kinematic", action="store_true",
         help="use the kinematic tier (parking-grade model) instead",
     )
@@ -247,13 +253,19 @@ def main(argv=None) -> int:
     elif args.cmd == "race":
         from .experiments import racing
 
-        _res, summary = racing.run(
-            steps=args.steps,
-            N=args.horizon,
-            dynamic=not args.kinematic,
-            speed=args.speed,
-            outdir=args.outdir,
-        )
+        if args.wind is not None:
+            summary = racing.crosswind_comparison(
+                steps=args.steps, N=args.horizon,
+                speed=min(args.speed, 0.35), wind=args.wind,
+            )
+        else:
+            _res, summary = racing.run(
+                steps=args.steps,
+                N=args.horizon,
+                dynamic=not args.kinematic,
+                speed=args.speed,
+                outdir=args.outdir,
+            )
     elif args.cmd == "racesweep":
         from .obs.metrics import Timer
         from .parallel import make_mesh

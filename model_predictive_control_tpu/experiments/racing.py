@@ -216,3 +216,62 @@ def _save_plots(res, ref, steps, summary, outdir):
     ax.set_ylabel("tracking error [cm]")
     fig.savefig(outdir / "racing_error.png", dpi=120)
     plt.close(fig)
+
+
+def crosswind_comparison(
+    steps: int = 120,
+    N: int = HORIZON,
+    ts: float = TS,
+    speed: float = 0.35,
+    wind: float = 0.004,
+    dtype=jnp.float32,
+) -> dict:
+    """Offset-free racing demo (round 3): nominal lap tracker vs
+    :class:`...solvers.offset_free_nmpc.DisturbanceCompensatedTracking`
+    under a persistent lateral crosswind (kinematic tier — the compensated
+    tracker's reference re-projection assumes the 4-state layout).
+
+    Returns the steady tracking errors of both and the EKF's wind estimate.
+    """
+    from ..control.simulate import simulate as _simulate
+    from ..models.bicycle import kinematic_bicycle_ode as _kin
+    from ..solvers.nmpc_tracking import TrackingNMPC as _Nom
+    from ..solvers.offset_free_nmpc import DisturbanceCompensatedTracking
+
+    params = VehicleParameters()
+    ref = ellipse_reference(
+        steps + N + 1, speed=speed, ts=ts, dynamic=False, dtype=dtype
+    )
+    step_fn = euler(lambda x, u: _kin(params, x, u), ts)
+    plant_base = rk4(lambda x, u: _kin(params, x, u), ts)
+    w = jnp.asarray([0.0, -wind, 0.0, 0.0], dtype)
+    plant = lambda x, u: plant_base(x, u) + w
+    Q = jnp.asarray(Q_KINEMATIC, dtype)
+    R = jnp.asarray(R_KINEMATIC, dtype)
+    u_lb = jnp.asarray([params.min_drive, -params.max_steer], dtype)
+    u_ub = jnp.asarray([params.max_drive, params.max_steer], dtype)
+
+    nom = _Nom(step_fn, nx=NX, nu=2, N=N, Q=Q, R=R, QN=QN_SCALE * Q,
+               u_lb=u_lb, u_ub=u_ub, ref_traj=ref)
+    res_n = _simulate(ref[0], plant, steps=steps, policy=nom.policy(),
+                      policy_carry=nom.initial_carry(dtype))
+    comp = DisturbanceCompensatedTracking(
+        step_fn, nx=NX, nu=2, N=N, Q=Q, R=R, QN=QN_SCALE * Q,
+        u_lb=u_lb, u_ub=u_ub, ref_traj=ref, ts=ts, dtype=dtype,
+    )
+    res_c = _simulate(ref[0], plant, steps=steps, policy=comp.policy(),
+                      policy_carry=comp.initial_carry(ref[0]))
+    tail = slice(-max(10, steps // 3), None)
+    return {
+        "wind_per_step": float(wind),
+        "nominal_steady_error_m": float(
+            np.asarray(res_n.logs["tracking_error"])[tail].mean()
+        ),
+        "compensated_steady_error_m": float(
+            np.asarray(res_c.logs["tracking_error"])[tail].mean()
+        ),
+        "compensated_success": float(
+            np.asarray(res_c.logs["solver_success"], dtype=np.float32).mean()
+        ),
+        "wind_estimate": float(res_c.logs["disturbance_estimate"][-1, 1]),
+    }
