@@ -128,7 +128,11 @@ from .solvers.offset_free_nmpc import (
     DisturbanceCompensatedTracking,
     OffsetFreeNMPC,
 )
-from .estimation_nl import NonlinearMHE
+from .estimation_nl import (
+    NonlinearMHE,
+    initial_mhe_feedback_carry,
+    mhe_output_feedback_policy,
+)
 from .solvers.rate_mpc import (
     RateCondensedQP,
     RateLimitedMPC,

@@ -238,3 +238,68 @@ def _sqrt_inv(S):
     """Inverse matrix square root of an SPD matrix (eigh — small, traced)."""
     vals, vecs = jnp.linalg.eigh(S)
     return (vecs / jnp.sqrt(jnp.maximum(vals, 1e-30))) @ vecs.T
+
+
+def mhe_output_feedback_policy(ctrl, mhe: NonlinearMHE):
+    """Close the MPC loop on the MHE itself (bounded-state estimation in the
+    loop — what the EKF-based ``..estimation.output_feedback_policy`` cannot
+    give when physical limits matter).
+
+    Returns ``policy(y, t, carry)`` for :func:`..control.simulate.simulate`
+    driven by measurements, with
+    ``carry = (ys_buf (M+1, ny), us_buf (M, nu), x̄, P₀, mpc_carry)`` from
+    :func:`initial_mhe_feedback_carry`. Per step: append the new measurement
+    to the rolling window, solve the MHE for x̂_t, run the controller at
+    x̂_t, append the applied input, and advance the arrival prior with the
+    filtering recursion (EKF step on the window-head data, matching
+    :meth:`NonlinearMHE.trajectory`'s ``propagate_arrival`` mode).
+
+    The buffers start as if the system had SAT at the initial estimate for M
+    steps (replicated first measurement, zero inputs) — the first M windows
+    are warm-up approximations that wash out once real history fills the
+    buffer; gate tests compare post-warm-up behavior.
+    """
+    mpc_policy = ctrl.policy()
+    I = jnp.eye(mhe.nx, dtype=mhe.P0.dtype)
+
+    def policy(y, t, carry):
+        ys_buf, us_buf, xbar, P0, mpc_carry = carry
+        ys_buf = jnp.concatenate([ys_buf[1:], y[None]], axis=0)
+        x_t, X, w = mhe.solve(xbar, us_buf, ys_buf, P0=P0)
+        u, mpc_carry, aux = mpc_policy(x_t, t, mpc_carry)
+
+        # arrival recursion for the next (one-step-shifted) window: EKF step
+        # on the head data only (prior stays a conditional on past-only data)
+        y_head, u_head = ys_buf[0], us_buf[0]
+        C = jax.jacfwd(mhe.obs_fn)(xbar)
+        S = C @ P0 @ C.T + mhe.Rv
+        K = jnp.linalg.solve(S.T, (P0 @ C.T).T).T
+        xf = xbar + K @ (y_head - mhe.obs_fn(xbar))
+        KC = K @ C
+        P_corr = (I - KC) @ P0 @ (I - KC).T + K @ mhe.Rv @ K.T
+        A = jax.jacfwd(mhe.step_fn, argnums=0)(xf, u_head)
+        xbar_next = mhe.step_fn(xf, u_head)
+        # frozen-covariance mode still advances the MEAN, only P0 stays put
+        P0_next = (
+            A @ P_corr @ A.T + mhe.Qw if mhe.propagate_arrival else P0
+        )
+
+        us_buf = jnp.concatenate([us_buf[1:], u[None]], axis=0)
+        aux = dict(aux, state_estimate=x_t)
+        return u, (ys_buf, us_buf, xbar_next, P0_next, mpc_carry), aux
+
+    return policy
+
+
+def initial_mhe_feedback_carry(ctrl, mhe: NonlinearMHE, xhat0, nu: int,
+                               dtype=jnp.float32):
+    """Warm-up carry: buffers as if the system sat at ``xhat0`` for M steps."""
+    xhat0 = jnp.asarray(xhat0, dtype)
+    y0 = mhe.obs_fn(xhat0)
+    return (
+        jnp.tile(y0[None], (mhe.M + 1, 1)),
+        jnp.zeros((mhe.M, nu), dtype),
+        xhat0,
+        mhe.P0.astype(dtype),
+        ctrl.initial_carry(dtype),
+    )

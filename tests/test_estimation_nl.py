@@ -215,3 +215,66 @@ def test_linear_mhe_batched_solve_matches_scalar():
                 np.asarray(X_b[i]), np.asarray(X_s), atol=atol,
                 err_msg=backend,
             )
+
+
+def test_mhe_in_the_loop_output_feedback():
+    """MHE-in-the-loop output feedback (round 3): drive session-2 MPC from
+    noisy position-only measurements with the NonlinearMHE as the estimator.
+    After the M-step warm-up the loop must agree with the KF-based
+    output-feedback loop (linear-Gaussian: MHE == KF) and regulate."""
+    import model_predictive_control_tpu as mpc
+    from model_predictive_control_tpu.estimation_nl import (
+        initial_mhe_feedback_carry,
+        mhe_output_feedback_policy,
+    )
+
+    system, Qw, Rv, step_fn, obs_fn = _linear_setup()
+    problem = mpc.Problem(Ts=0.3, N=8)
+    ctrl = mpc.make_linear_mpc(problem, iters=300, dtype=jnp.float64,
+                               terminal="dare")
+    M, T = 6, 40
+    mhe = NonlinearMHE(step_fn, obs_fn, Qw, Rv,
+                       P0=0.1 * jnp.eye(2, dtype=jnp.float64), M=M, nx=2,
+                       gn_iters=1, propagate_arrival=True)
+    x0 = jnp.asarray([-30.0, 4.0], jnp.float64)
+    key = jax.random.PRNGKey(3)
+    ws = 0.01 * jax.random.normal(key, (T, 2), jnp.float64)
+    vs = 0.2 * jax.random.normal(jax.random.fold_in(key, 1), (T, 1),
+                                 jnp.float64)
+
+    policy = mhe_output_feedback_policy(ctrl, mhe)
+    carry = initial_mhe_feedback_carry(ctrl, mhe, x0, nu=1,
+                                       dtype=jnp.float64)
+    A, B, C = system.A, system.B, system.C
+
+    def episode(policy, carry):
+        def step(state, inp):
+            x, c = state
+            w, v = inp
+            y = C @ x + v
+            u, c, aux = policy(y, 0, c)
+            return (A @ x + B @ u + w, c), (x, u, aux["state_estimate"])
+
+        (_, _), out = jax.lax.scan(step, (x0, carry), (ws, vs))
+        return out
+
+    xs, us, xh = episode(policy, carry)
+    # regulation: the noisy-measurement loop still brings the state in
+    assert float(jnp.linalg.norm(xs[-1])) < 2.0
+    # post-warm-up estimates track the true state at the noise level
+    err = jnp.linalg.norm(xh[M + 2 :] - xs[M + 2 :], axis=1)
+    assert float(err.mean()) < 0.5
+
+    # agreement with the KF output-feedback loop after warm-up (MHE == KF in
+    # the linear-Gaussian limit; the replicated-y0 warm-up washes out)
+    import model_predictive_control_tpu.estimation as est
+
+    kf = est.kalman_gain(system, Qw, Rv)
+    kf_policy = est.output_feedback_policy(ctrl, kf)
+    kf_carry = est.initial_output_feedback_carry(ctrl, x0, jnp.float64)
+    xs_kf, us_kf, _ = episode(kf_policy, kf_carry)
+    # the replicated-y0 warm-up transient decays over ~2M steps; past it the
+    # two loops agree to solver/noise tolerance (measured tail ~1e-3)
+    du = jnp.abs(us[-15:] - us_kf[-15:])
+    assert float(du.max()) < 0.1
+    assert float(jnp.abs(xs[-1] - xs_kf[-1]).max()) < 0.05
