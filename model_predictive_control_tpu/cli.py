@@ -119,6 +119,11 @@ def main(argv=None) -> int:
     pt.add_argument("--updates", type=int, default=15)
     pt.add_argument("--lr", type=float, default=0.3)
     pt.add_argument("--iters", type=int, default=400)
+    pt.add_argument(
+        "--nonlinear", action="store_true",
+        help="tune the NONLINEAR parking tier's cost weights through the "
+        "parameter-implicit AL-iLQR (round 3) instead of the linear tier",
+    )
     _add_common(pt)
 
     pe = sub.add_parser(
@@ -221,17 +226,49 @@ def main(argv=None) -> int:
                 solver=args.solver,
             )
     elif args.cmd == "tune":
-        from .experiments import tuning as tuning_exp
+        if args.nonlinear:
+            import jax
+            import jax.numpy as jnp
 
-        summary = tuning_exp.run(
-            outdir=args.outdir,
-            N=args.horizon,
-            steps=args.steps,
-            batch=args.batch,
-            updates=args.updates,
-            learning_rate=args.lr,
-            iters=args.iters,
-        )
+            from .tuning import tune_parking_weights
+
+            # f64 where available (CPU); TPU has no x64 — f32 gradients are
+            # ample for weight tuning (verified on chip, finite to 1e-4)
+            dt = (
+                jnp.float64 if jax.default_backend() == "cpu"
+                else jnp.float32
+            )
+            key = jax.random.PRNGKey(0)
+            x0s = jnp.asarray([0.6, -0.25, 0.0, 0.0], dt) \
+                + 0.1 * jax.random.normal(key, (args.batch, 4), dt)
+            out = tune_parking_weights(
+                x0s, steps=args.steps,
+                true_Q=[10.0, 10.0, 0.1, 0.1], true_R=[0.1, 0.01],
+                updates=args.updates, learning_rate=args.lr, dtype=dt,
+            )
+            losses = [float(v) for v in out["losses"]]
+            summary = {
+                "tier": "nonlinear-parking",
+                "loss_initial": round(losses[0], 4),
+                "loss_final": round(losses[-1], 4),
+                "improvement_pct": round(
+                    100.0 * (1.0 - losses[-1] / losses[0]), 1
+                ),
+                "tuned_Q": [round(float(v), 4) for v in out["Q"]],
+                "tuned_R": [round(float(v), 4) for v in out["R"]],
+            }
+        else:
+            from .experiments import tuning as tuning_exp
+
+            summary = tuning_exp.run(
+                outdir=args.outdir,
+                N=args.horizon,
+                steps=args.steps,
+                batch=args.batch,
+                updates=args.updates,
+                learning_rate=args.lr,
+                iters=args.iters,
+            )
     elif args.cmd == "estimate":
         from .experiments import estimation_demo
 
