@@ -16,7 +16,10 @@ tier="${1:-smoke}"
 case "$tier" in
   smoke) exec python -m pytest tests -q -m "smoke and not slow" ;;
   quick) exec python -m pytest tests -q -m "not slow" ;;
+  # halves of the quick tier for <10-min execution windows
+  quick1) exec python -m pytest $(ls tests/test_[a-l]*.py) -q -m "not slow" ;;
+  quick2) exec python -m pytest $(ls tests/test_[m-z]*.py) -q -m "not slow" ;;
   full)  exec python -m pytest tests -q ;;
   bench) exec python tools/check_bench.py ;;  # real-TPU regression gate vs BENCH_CONTRACT.json
-  *) echo "usage: ci.sh [smoke|quick|full|bench]" >&2; exit 2 ;;
+  *) echo "usage: ci.sh [smoke|quick|quick1|quick2|full|bench]" >&2; exit 2 ;;
 esac
