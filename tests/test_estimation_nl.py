@@ -278,3 +278,51 @@ def test_mhe_in_the_loop_output_feedback():
     du = jnp.abs(us[-15:] - us_kf[-15:])
     assert float(du.max()) < 0.1
     assert float(jnp.abs(xs[-1] - xs_kf[-1]).max()) < 0.05
+
+
+def test_dynamic_tier_mhe_window():
+    """The Gauss-Newton MHE is model-agnostic: one bounded window solve on the
+    6-state dynamic (Pacejka) tier reconstructs the state from position+heading
+    measurements at the noise level."""
+    from model_predictive_control_tpu.models.bicycle import (
+        NX_DYNAMIC,
+        dynamic_bicycle_ode,
+    )
+    from model_predictive_control_tpu.ops.integrators import rk4_fine
+
+    params = VehicleParameters()
+    ts, M = 0.05, 8
+    dt = jnp.float64
+    step_fn = rk4_fine(
+        lambda x, u: dynamic_bicycle_ode(params, x, u), ts, substeps=4
+    )
+    obs_fn = lambda x: x[:3]  # position + heading
+    Qw = jnp.diag(jnp.asarray([1e-6, 1e-6, 1e-6, 1e-4, 1e-4, 1e-4], dt))
+    Rv = 1e-4 * jnp.eye(3, dtype=dt)
+    x = jnp.asarray([1.5, 0.0, jnp.pi / 2, 1.0, 0.0, 0.5], dt)
+    us = jnp.tile(jnp.asarray([[0.4, 0.05]], dt), (M, 1))
+    key = jax.random.PRNGKey(2)
+    xs, ys = [x], [obs_fn(x)]
+    for k in range(M):
+        kw, kv, key = jax.random.split(key, 3)
+        x = step_fn(x, us[k]) + jax.random.multivariate_normal(
+            kw, jnp.zeros(NX_DYNAMIC, dt), Qw
+        )
+        xs.append(x)
+        ys.append(obs_fn(x) + 0.01 * jax.random.normal(kv, (3,), dt))
+    xs = jnp.stack(xs)
+    ys_all = jnp.stack(ys)
+
+    mhe = NonlinearMHE(
+        step_fn, obs_fn, Qw, Rv, P0=0.01 * jnp.eye(NX_DYNAMIC, dtype=dt),
+        M=M, nx=NX_DYNAMIC, gn_iters=3,
+        x_min=[-3.0, -2.0, -7.0, -2.0, -1.0, -5.0],
+        x_max=[3.0, 2.0, 7.0, 2.0, 1.0, 5.0],
+    )
+    xbar = xs[0] + 0.05
+    x_M, X, w = mhe.solve(xbar, us, ys_all)
+    # full-state reconstruction error at the measurement-noise level,
+    # including the UNMEASURED body velocities and yaw rate
+    err = jnp.abs(x_M - xs[-1])
+    assert float(err[:3].max()) < 0.02  # measured components
+    assert float(err[3:].max()) < 0.15  # inferred velocity states
