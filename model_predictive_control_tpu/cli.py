@@ -107,7 +107,26 @@ def main(argv=None) -> int:
         "--backend", choices=("pallas", "xla"), default="pallas",
         help="pallas = fused tracking kernel (TPU); xla = vmap reference path",
     )
+    pr2.add_argument(
+        "--dynamic", action="store_true",
+        help="6-state Pacejka tier at speed (fused dynamic kernel, round 4) "
+        "instead of the kinematic tier",
+    )
     _add_common(pr2)
+
+    pws = sub.add_parser(
+        "windsweep",
+        help="batched offset-free racing under per-scenario crosswinds "
+        "(EKF + disturbance-compensated tracking on the fused kernel)",
+    )
+    pws.add_argument("--batch", type=int, default=2048)
+    pws.add_argument("--steps", type=int, default=50)
+    pws.add_argument("--wind", type=float, default=0.004)
+    pws.add_argument(
+        "--nominal", action="store_true",
+        help="ablation: run the uncompensated tracker under the same winds",
+    )
+    _add_common(pws)
 
     pt = sub.add_parser(
         "tune",
@@ -306,23 +325,55 @@ def main(argv=None) -> int:
     elif args.cmd == "racesweep":
         from .obs.metrics import Timer
         from .parallel import make_mesh
-        from .parallel.batch import racing_sweep
+        from .parallel.batch import racing_sweep, racing_sweep_dynamic
+
+        import jax
+
+        mesh = make_mesh(len(jax.devices()))
+        if args.dynamic:
+            sweep_fn = racing_sweep_dynamic
+            kw = dict(
+                batch=args.batch, steps=args.steps, N=args.horizon,
+                rel_scale=min(args.rel_scale, 0.05),
+                backend=args.backend, mesh=mesh,
+            )
+        else:
+            sweep_fn = racing_sweep
+            kw = dict(
+                batch=args.batch, steps=args.steps, N=args.horizon,
+                speed=args.speed, rel_scale=args.rel_scale,
+                backend=args.backend, mesh=mesh,
+            )
+        with Timer() as t:
+            res, summary = sweep_fn(**kw)
+            t.fence(res.states)
+        summary["wall_s"] = round(t.elapsed, 3)
+        # second run with a fresh key measures the compiled device loop
+        with Timer() as t2:
+            res2, _ = sweep_fn(key=jax.random.PRNGKey(1), **kw)
+            t2.fence(res2.states)
+        summary["solves_per_s"] = round(
+            args.batch * args.steps / t2.elapsed, 1
+        )
+        summary["wall_steady_s"] = round(t2.elapsed, 3)
+    elif args.cmd == "windsweep":
+        from .obs.metrics import Timer
+        from .parallel import make_mesh
+        from .parallel.batch import wind_sweep
 
         import jax
 
         mesh = make_mesh(len(jax.devices()))
         kw = dict(
-            batch=args.batch, steps=args.steps, N=args.horizon,
-            speed=args.speed, rel_scale=args.rel_scale,
-            backend=args.backend, mesh=mesh,
+            batch=args.batch, steps=args.steps, wind=args.wind,
+            compensate=not args.nominal, mesh=mesh,
         )
         with Timer() as t:
-            res, summary = racing_sweep(**kw)
+            res, summary = wind_sweep(**kw)
             t.fence(res.states)
         summary["wall_s"] = round(t.elapsed, 3)
-        # second run with a fresh key measures the compiled device loop
         with Timer() as t2:
-            res2, _ = racing_sweep(key=jax.random.PRNGKey(1), **kw)
+            res2, _ = wind_sweep(key=jax.random.PRNGKey(1), **kw)
             t2.fence(res2.states)
         summary["solves_per_s"] = round(
             args.batch * args.steps / t2.elapsed, 1

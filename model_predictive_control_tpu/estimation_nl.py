@@ -268,21 +268,26 @@ def mhe_output_feedback_policy(ctrl, mhe: NonlinearMHE):
         x_t, X, w = mhe.solve(xbar, us_buf, ys_buf, P0=P0)
         u, mpc_carry, aux = mpc_policy(x_t, t, mpc_carry)
 
-        # arrival recursion for the next (one-step-shifted) window: EKF step
-        # on the head data only (prior stays a conditional on past-only data)
+        # arrival recursion for the next (one-step-shifted) window — SAME
+        # per-mode recursion as :meth:`NonlinearMHE.trajectory` (the two
+        # receding-horizon implementations must agree configuration for
+        # configuration; round-3 advisor finding):
         y_head, u_head = ys_buf[0], us_buf[0]
-        C = jax.jacfwd(mhe.obs_fn)(xbar)
-        S = C @ P0 @ C.T + mhe.Rv
-        K = jnp.linalg.solve(S.T, (P0 @ C.T).T).T
-        xf = xbar + K @ (y_head - mhe.obs_fn(xbar))
-        KC = K @ C
-        P_corr = (I - KC) @ P0 @ (I - KC).T + K @ mhe.Rv @ K.T
-        A = jax.jacfwd(mhe.step_fn, argnums=0)(xf, u_head)
-        xbar_next = mhe.step_fn(xf, u_head)
-        # frozen-covariance mode still advances the MEAN, only P0 stays put
-        P0_next = (
-            A @ P_corr @ A.T + mhe.Qw if mhe.propagate_arrival else P0
-        )
+        if mhe.propagate_arrival:
+            # filtering arrival (Rao–Rawlings): EKF step on the head data only
+            C = jax.jacfwd(mhe.obs_fn)(xbar)
+            S = C @ P0 @ C.T + mhe.Rv
+            K = jnp.linalg.solve(S.T, (P0 @ C.T).T).T
+            xf = xbar + K @ (y_head - mhe.obs_fn(xbar))
+            KC = K @ C
+            P_corr = (I - KC) @ P0 @ (I - KC).T + K @ mhe.Rv @ K.T
+            A = jax.jacfwd(mhe.step_fn, argnums=0)(xf, u_head)
+            xbar_next = mhe.step_fn(xf, u_head)
+            P0_next = A @ P_corr @ A.T + mhe.Qw
+        else:
+            # frozen mode: smoothed window head pushed one step, P0 frozen
+            xbar_next = mhe.step_fn(X[0], u_head) + w[0]
+            P0_next = P0
 
         us_buf = jnp.concatenate([us_buf[1:], u[None]], axis=0)
         aux = dict(aux, state_estimate=x_t)

@@ -88,9 +88,16 @@ def _alilqr_tile_kernel(
     reg_min: float,
     reg_max: float,
     track: bool = False,
+    has_dist: bool = False,
+    has_uref: bool = False,
 ):
     # remaining positional refs, in pallas_call order:
     #   [ref_ref (N+1, 4, T) — tracking reference, only when track=True]
+    #   [dist_ref (4, T) — per-scenario additive state offset, when has_dist:
+    #    the dynamics become F(x, u) + d (d = B_d d̂ for the offset-free /
+    #    wind-compensated stack, round 4 — one extra operand per lane)]
+    #   [uref_ref (N, 2, T) — per-scenario input reference, when has_uref:
+    #    the stage cost penalizes (u − u_ref) instead of u]
     #   us_out (N, 2, T), xs_out (N+1, 4, T), viol_out (1, T), conv_out (1, T)
     #   scratch: xs_s, us_s, xs_c, us_c (trajectory/candidate buffers),
     #   k_s (N, 2, T), K_s (N, 8, T), lam_s (N, NC, T)
@@ -98,6 +105,14 @@ def _alilqr_tile_kernel(
         ref_ref, *rest = rest
     else:
         ref_ref = None
+    if has_dist:
+        dist_ref, *rest = rest
+    else:
+        dist_ref = None
+    if has_uref:
+        uref_ref, *rest = rest
+    else:
+        uref_ref = None
     (
         us_out, xs_out, viol_out, conv_out,
         xs_s, us_s, xs_c, us_c, k_s, K_s, lam_s,
@@ -126,6 +141,14 @@ def _alilqr_tile_kernel(
     # Row-based primitives take per-component arrays of ANY leading shape
     # (broadcast against the (1, T) per-scenario params) — the line search uses
     # them with all alphas packed into the sublane dim as (A, T) blocks.
+    # per-scenario additive dynamics offset rows ((1, T), broadcast over packs)
+    if has_dist:
+        def dist_rows():
+            return tuple(dist_ref[i : i + 1] for i in range(NX))
+    else:
+        def dist_rows():
+            return (0.0, 0.0, 0.0, 0.0)
+
     def dyn_rows(px, py, psi, v, a, dl):
         t = jnp.tan(dl)
         den = jnp.sqrt(1.0 + (KB * KB) * t * t)
@@ -134,11 +157,12 @@ def _alilqr_tile_kernel(
         sp, cp = jnp.sin(psi), jnp.cos(psi)
         s_pb = sp * cosb + cp * sinb
         c_pb = cp * cosb - sp * sinb
+        d0, d1, d2, d3 = dist_rows()
         return (
-            px + ts * v * c_pb,
-            py + ts * v * s_pb,
-            psi + ts * v * sinb / LR,
-            v + ts * (acc * a - fric * v),
+            px + ts * v * c_pb + d0,
+            py + ts * v * s_pb + d1,
+            psi + ts * v * sinb / LR + d2,
+            v + ts * (acc * a - fric * v) + d3,
         )
 
     def dyn(x, u, acc_, fric_, want_jac):
@@ -153,14 +177,16 @@ def _alilqr_tile_kernel(
         sp, cp = jnp.sin(psi), jnp.cos(psi)
         s_pb = sp * cosb + cp * sinb  # sin(psi + beta)
         c_pb = cp * cosb - sp * sinb  # cos(psi + beta)
+        d0, d1, d2, d3 = dist_rows()
         xn = jnp.concatenate(
             [
-                px + ts * v * c_pb,
-                py + ts * v * s_pb,
-                psi + ts * v * sinb / LR,
-                v + ts * (acc_ * a - fric_ * v),
+                px + ts * v * c_pb + d0,
+                py + ts * v * s_pb + d1,
+                psi + ts * v * sinb / LR + d2,
+                v + ts * (acc_ * a - fric_ * v) + d3,
             ]
         )
+        # the additive offset is constant per scenario: Jacobians unchanged
         if not want_jac:
             return xn, None
         # dbeta/ddelta = KB sec^2(dl) / den2
@@ -213,6 +239,16 @@ def _alilqr_tile_kernel(
         ur = (u[0:1], u[1:2])
         return jnp.concatenate(constraint_row_list(xr, ur))  # (nc, T)
 
+    # per-scenario input-reference rows for stage t_i (None keeps the plain
+    # uᵀRu penalty byte-identical)
+    if has_uref:
+        def uref_rows(t_i):
+            ur = uref_ref[t_i]  # (2, T)
+            return (ur[0:1], ur[1:2])
+    else:
+        def uref_rows(t_i):
+            return None
+
     def _quad_err(xr, rr):
         """Σ QD_i e_i², e = x − ref (ref rows broadcast over alpha packs)."""
         if rr is None:
@@ -221,14 +257,19 @@ def _alilqr_tile_kernel(
             QD[i] * (xr[i] - rr[i]) * (xr[i] - rr[i]) for i in range(NX)
         )
 
-    def stage_cost_rows(xr, ur, lam, mu, rr=None):
+    def _quad_u(ur, urr):
+        if urr is None:
+            return sum(RD[j] * ur[j] * ur[j] for j in range(NU))
+        return sum(
+            RD[j] * (ur[j] - urr[j]) * (ur[j] - urr[j]) for j in range(NU)
+        )
+
+    def stage_cost_rows(xr, ur, lam, mu, rr=None, urr=None):
         """Quadratic + AL penalty, any leading shape (e.g. (A, T) alpha packs).
 
         lam rows are (1, T) slices that broadcast against the pack."""
         rows = constraint_row_list(xr, ur)
-        quad = _quad_err(xr, rr) + sum(
-            RD[j] * ur[j] * ur[j] for j in range(NU)
-        )
+        quad = _quad_err(xr, rr) + _quad_u(ur, urr)
         phi = jnp.zeros_like(quad)
         for r, c in enumerate(rows):
             lam_r = lam[r : r + 1]
@@ -239,7 +280,7 @@ def _alilqr_tile_kernel(
     def stage_cost_value(x, u, lam, mu, t_i):
         return stage_cost_rows(
             (x[0:1], x[1:2], x[2:3], x[3:4]), (u[0:1], u[1:2]), lam, mu,
-            rr=ref_rows(t_i),
+            rr=ref_rows(t_i), urr=uref_rows(t_i),
         )
 
     def terminal_cost_rows(xr, rr=None):
@@ -250,19 +291,24 @@ def _alilqr_tile_kernel(
             (x[0:1], x[1:2], x[2:3], x[3:4]), rr=ref_rows(N)
         )
 
-    def stage_derivs(x, u, lam, mu, rr=None):
+    def stage_derivs(x, u, lam, mu, rr=None, urr=None):
         """Gradients/Hessians of stage cost + AL penalty.
 
         Returns lx (4,T), lu (2,T), lxx rows dict (symmetric entries), luu diag
         (2,T). lux is identically zero (no constraint couples x and u; the
         quadratic cost is separable)."""
         px, py, psi = x[0:1], x[1:2], x[2:3]
-        # quadratic part (lxx/luu are ref-independent; only lx shifts)
+        # quadratic part (lxx/luu are ref-independent; only lx/lu shift)
         if rr is None:
             lx = [2.0 * QD[i] * x[i : i + 1] for i in range(NX)]
         else:
             lx = [2.0 * QD[i] * (x[i : i + 1] - rr[i]) for i in range(NX)]
-        lu = [2.0 * RD[j] * u[j : j + 1] for j in range(NU)]
+        if urr is None:
+            lu = [2.0 * RD[j] * u[j : j + 1] for j in range(NU)]
+        else:
+            lu = [
+                2.0 * RD[j] * (u[j : j + 1] - urr[j]) for j in range(NU)
+            ]
         zero = jnp.zeros_like(px)
         hxx = {}  # symmetric 4x4, keys (i, j) i<=j
         for i in range(NX):
@@ -404,7 +450,9 @@ def _alilqr_tile_kernel(
             x = xs_s[t_i]
             u = us_s[t_i]
             _, J = dyn(x, u, acc, fric, want_jac=True)
-            lx, lu, hxx, huu = stage_derivs(x, u, lam_s[t_i], mu, rr=ref_rows(t_i))
+            lx, lu, hxx, huu = stage_derivs(
+                x, u, lam_s[t_i], mu, rr=ref_rows(t_i), urr=uref_rows(t_i)
+            )
             a02, a03 = J["a02"], J["a03"]
             a12, a13 = J["a12"], J["a13"]
             a23, a33 = J["a23"], J["a33"]
@@ -554,7 +602,7 @@ def _alilqr_tile_kernel(
             dl_u = uh[1:2] + du1
             cost = cost + stage_cost_rows(
                 (px, py, psi, v), (a_u, dl_u), lam_s[t_i], mu,
-                rr=ref_rows(t_i),
+                rr=ref_rows(t_i), urr=uref_rows(t_i),
             )
             px, py, psi, v = dyn_rows(px, py, psi, v, a_u, dl_u)
             return px, py, psi, v, cost
@@ -724,6 +772,8 @@ def al_ilqr_solve_pallas(
     acc: jnp.ndarray,  # (B,) per-scenario acceleration param
     fric: jnp.ndarray,  # (B,) per-scenario friction param
     refs: jnp.ndarray | None = None,  # (B, N+1, 4) tracking reference windows
+    dist: jnp.ndarray | None = None,  # (B, 4) additive state offset B_d d̂
+    urefs: jnp.ndarray | None = None,  # (B, N, 2) input references
     *,
     N: int,
     ts: float,
@@ -750,6 +800,14 @@ def al_ilqr_solve_pallas(
     turning the kernel into the racing-tier lap tracker
     (:class:`...solvers.nmpc_tracking.TrackingNMPC` semantics, batched). With
     ``refs=None`` the regulation (parking) code path is unchanged.
+
+    ``dist`` (round 4): optional per-scenario additive dynamics offset — the
+    prediction model becomes ``F(x, u) + d`` with ``d = B_d d̂`` one (4,)
+    vector per lane, which is exactly what the offset-free / wind-compensated
+    output-feedback stack needs to ride this kernel
+    (:class:`...solvers.offset_free_nmpc.DisturbanceCompensatedTracking`
+    batched; VERDICT r3 item 2). ``urefs``: optional per-scenario input
+    references — the stage cost penalizes ``(u − u_ref)ᵀR(u − u_ref)``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -757,6 +815,8 @@ def al_ilqr_solve_pallas(
     B = x0s.shape[0]
     nc = 2 * NX + 2 * NU + n_circles * n_circles
     track = refs is not None
+    has_dist = dist is not None
+    has_uref = urefs is not None
 
     Bp = ((B + tile - 1) // tile) * tile
     pad = Bp - B
@@ -765,6 +825,10 @@ def al_ilqr_solve_pallas(
     pp_l = jnp.stack([acc.astype(f32), fric.astype(f32)])  # (2, B)
     if track:
         ref_l = jnp.transpose(refs.astype(f32), (1, 2, 0))  # (N+1, 4, B)
+    if has_dist:
+        dist_l = jnp.transpose(dist.astype(f32))  # (4, B)
+    if has_uref:
+        uref_l = jnp.transpose(urefs.astype(f32), (1, 2, 0))  # (N, 2, B)
     if pad:
         x0_l = jnp.pad(x0_l, ((0, 0), (0, pad)))
         u0_l = jnp.pad(u0_l, ((0, 0), (0, 0), (0, pad)))
@@ -772,6 +836,10 @@ def al_ilqr_solve_pallas(
         pp_l = jnp.pad(pp_l, ((0, 0), (0, pad)), constant_values=1.0)
         if track:
             ref_l = jnp.pad(ref_l, ((0, 0), (0, 0), (0, pad)))
+        if has_dist:
+            dist_l = jnp.pad(dist_l, ((0, 0), (0, pad)))
+        if has_uref:
+            uref_l = jnp.pad(uref_l, ((0, 0), (0, 0), (0, pad)))
 
     kernel = functools.partial(
         _alilqr_tile_kernel,
@@ -793,6 +861,8 @@ def al_ilqr_solve_pallas(
         reg_min=1e-8,
         reg_max=1e8,
         track=track,
+        has_dist=has_dist,
+        has_uref=has_uref,
     )
 
     grid = (Bp // tile,)
@@ -806,6 +876,12 @@ def al_ilqr_solve_pallas(
     if track:
         in_specs.append(spec3(N + 1, NX))
         inputs.append(ref_l)
+    if has_dist:
+        in_specs.append(spec2(NX))
+        inputs.append(dist_l)
+    if has_uref:
+        in_specs.append(spec3(N, NU))
+        inputs.append(uref_l)
 
     us_l, xs_l, viol_l, conv_l = pl.pallas_call(
         kernel,

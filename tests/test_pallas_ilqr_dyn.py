@@ -1,0 +1,212 @@
+"""Fused 6-state Pacejka AL-iLQR tracking kernel vs the XLA solver path
+(round 4, VERDICT r3 item 1).
+
+Runs the same kernel code the TPU executes, in Pallas interpreter mode on CPU,
+against ``solvers/ilqr.py::al_ilqr_solve`` on the IDENTICAL OCP — same
+RK4-substepped prediction model (``rk4_fine`` semantics), same tracking cost,
+same input-box AL rows — so the two backends must land on the same solution.
+
+Interpreter-mode compiles are expensive (~45 s per kernel configuration on
+this CPU box), so every test in this file shares ONE static kernel
+configuration (N/substeps/weights/outer/inner/tile) — the executable compiles
+once and is reused, keeping the file inside the per-file wall-time budget.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpreter-mode kernels (full tier)
+
+from model_predictive_control_tpu.experiments.racing import (
+    Q_DYNAMIC,
+    QN_SCALE,
+    R_DYNAMIC,
+    ellipse_reference,
+)
+from model_predictive_control_tpu.models.bicycle import (
+    NX_DYNAMIC,
+    dynamic_bicycle_ode,
+)
+from model_predictive_control_tpu.models.parameters import VehicleParameters
+from model_predictive_control_tpu.ops.integrators import rk4_fine
+from model_predictive_control_tpu.ops.pallas.ilqr_dyn_kernel import (
+    _ATAN_C,
+    al_ilqr_dyn_solve_pallas,
+    model_tuple,
+)
+from model_predictive_control_tpu.solvers.ilqr import ILQRProblem, al_ilqr_solve
+
+# the ONE shared kernel configuration (see module docstring)
+N, TS, SUB, OUTER, INNER, TILE = 6, 0.05, 1, 6, 15, 8
+
+
+def _kernel_solve(x0s, refs, params):
+    return al_ilqr_dyn_solve_pallas(
+        x0s,
+        jnp.zeros((x0s.shape[0], N, 2), jnp.float32),
+        refs,
+        N=N, ts=TS, substeps=SUB, model=model_tuple(params),
+        limits=(
+            (float(params.min_drive), -float(params.max_steer)),
+            (float(params.max_drive), float(params.max_steer)),
+        ),
+        weights=(
+            tuple(float(v) for v in Q_DYNAMIC),
+            tuple(float(v) for v in R_DYNAMIC),
+            float(QN_SCALE),
+        ),
+        outer_iters=OUTER, inner_iters=INNER, viol_tol=1e-4, tile=TILE,
+    )
+
+
+def _xla_solve_batch(x0s, windows, params, u_init=None):
+    """One jitted vmap over (x0, window) pairs — a single XLA compile.
+
+    ``u_init``: optional (B, N, 2) warm starts (used as the stationarity
+    certificate: the x64 oracle started AT the kernel's solution must stay)."""
+    Qd = jnp.asarray(Q_DYNAMIC, jnp.float32)
+    Rd = jnp.asarray(R_DYNAMIC, jnp.float32)
+    QNd = QN_SCALE * Qd
+    lb_u = jnp.asarray([params.min_drive, -params.max_steer], jnp.float32)
+    ub_u = jnp.asarray([params.max_drive, params.max_steer], jnp.float32)
+    pred = rk4_fine(
+        lambda x, u: dynamic_bicycle_ode(params, x, u), TS, substeps=SUB
+    )
+
+    def one(x0, window, ui):
+        def stage_cost(xx, uu, t):
+            e = xx - window[t]
+            return e @ (Qd * e) + uu @ (Rd * uu)
+
+        prob = ILQRProblem(
+            dynamics=lambda xx, uu, t: pred(xx, uu),
+            stage_cost=stage_cost,
+            terminal_cost=lambda xx: (xx - window[N]) @ (QNd * (xx - window[N])),
+            N=N, nx=NX_DYNAMIC, nu=2,
+        )
+        cons = lambda xx, uu, t: jnp.concatenate([uu - ub_u, lb_u - uu])
+        return al_ilqr_solve(
+            prob, cons, 4, x0, u_init=ui, outer_iters=OUTER,
+            inner_iters=INNER, viol_tol=1e-4,
+        )
+
+    if u_init is None:
+        u_init = jnp.zeros((x0s.shape[0], N, 2), jnp.float32)
+    return jax.jit(jax.vmap(one))(x0s, windows, u_init)
+
+
+def _ocp_cost(us, window, x0, params):
+    """f64 cost of a control sequence under the shared OCP."""
+    Qd = np.asarray(Q_DYNAMIC, np.float64)
+    Rd = np.asarray(R_DYNAMIC, np.float64)
+    QNd = QN_SCALE * Qd
+    pred = rk4_fine(
+        lambda x, u: dynamic_bicycle_ode(params, x, u), TS, substeps=SUB
+    )
+    x = jnp.asarray(x0, jnp.float64)
+    c = 0.0
+    for t in range(N):
+        e = np.asarray(x) - np.asarray(window[t], np.float64)
+        c += e @ (Qd * e) + np.asarray(us[t]) @ (Rd * np.asarray(us[t]))
+        x = pred(x, jnp.asarray(us[t], jnp.float64))
+    e = np.asarray(x) - np.asarray(window[N], np.float64)
+    return c + e @ (QNd * e)
+
+
+def test_atan_poly_matches_arctan():
+    """The kernel's Mosaic-compatible atan polynomial: 8 coefficients, |err|
+    < 2e-7 over the full range (both the |x| <= 1 core and the reduced tail)."""
+    assert len(_ATAN_C) == 8
+    x = np.concatenate(
+        [np.linspace(-40.0, 40.0, 4001), np.linspace(-1.0, 1.0, 2001)]
+    )
+    ax = np.abs(x)
+    a = np.where(ax > 1.0, 1.0 / np.maximum(ax, 1e-30), ax)
+    s = a * a
+    p = np.full_like(a, _ATAN_C[7])
+    for c in _ATAN_C[6::-1]:
+        p = p * s + c
+    r = a * p
+    r = np.where(ax > 1.0, np.pi / 2.0 - r, r)
+    r = np.where(x < 0.0, -r, r)
+    np.testing.assert_allclose(r, np.arctan(x), atol=2e-7)
+
+
+def test_dyn_kernel_matches_xla_and_respects_box():
+    """Cold solves on lap-tracking windows: the fused kernel and the XLA
+    AL-iLQR agree on controls/states/flags; the speed-deficit scenario
+    saturates drive and stays inside the input box to the AL tolerance."""
+    params = VehicleParameters()
+    ref = ellipse_reference(
+        N + 20, speed=1.2, ts=TS, dynamic=True, dtype=jnp.float32
+    )
+    offsets = [0, 6, 13]
+    refs = jnp.stack([ref[o : o + N + 1] for o in offsets])
+    rng = np.random.default_rng(1)
+    x0s = (
+        refs[:, 0]
+        + jnp.asarray(
+            rng.uniform(-1, 1, size=(len(offsets), NX_DYNAMIC))
+            * np.array([0.05, 0.05, 0.1, 0.05, 0.01, 0.05]),
+            jnp.float32,
+        )
+    ).astype(jnp.float32)
+    # scenario 0 gets a large speed deficit -> drive saturates on the horizon
+    x0s = x0s.at[0, 3].add(-0.6)
+
+    sol_k = _kernel_solve(x0s, refs, params)
+    assert bool(jnp.all(sol_k.converged))
+    assert float(jnp.max(sol_k.viol)) < 1e-4
+
+    # stationarity certificate: the x64 XLA oracle STARTED AT the kernel's
+    # solution must stay there (a non-optimal kernel point would be walked
+    # away from)
+    sol_w = _xla_solve_batch(x0s, refs, params, u_init=sol_k.us)
+    np.testing.assert_allclose(
+        np.asarray(sol_w.us), np.asarray(sol_k.us), atol=2e-3
+    )
+
+    # and the kernel's point is never WORSE than the cold XLA solve (on this
+    # nonconvex OCP the scalar XLA path can stall at a non-stationary point —
+    # measured grad 1.8 vs the kernel's 0.008 on one draw — so cost dominance,
+    # not element-wise equality, is the honest cold-solve gate)
+    sol_x = _xla_solve_batch(x0s, refs, params)
+    for i in range(x0s.shape[0]):
+        ck = _ocp_cost(np.asarray(sol_k.us[i]), refs[i], x0s[i], params)
+        cx = _ocp_cost(np.asarray(sol_x.us[i]), refs[i], x0s[i], params)
+        assert ck <= cx + 1e-4, (i, ck, cx)
+
+    us0 = np.asarray(sol_k.us[0])
+    assert us0[:, 0].max() <= float(params.max_drive) + 1e-3
+    assert us0[:, 0].max() > float(params.max_drive) - 1e-2  # actually binds
+    assert np.abs(us0[:, 1]).max() <= float(params.max_steer) + 1e-3
+
+
+def test_dynamic_tier_sweep_pallas_vs_xla_closed_loop():
+    """racing_sweep_dynamic(backend="pallas") matches the XLA twin closed-loop
+    (VERDICT r3 item 1's done-gate), and tracks under grip mismatch. Uses the
+    same N/substeps/outer/inner as the solve tests so the kernel executable is
+    reused."""
+    from model_predictive_control_tpu.parallel.batch import racing_sweep_dynamic
+
+    kw = dict(
+        batch=2, steps=3, key=jax.random.PRNGKey(7), N=N, pred_substeps=SUB,
+        outer_iters=OUTER, inner_iters=INNER,
+    )
+    res_p, s_p = racing_sweep_dynamic(backend="pallas", tile=TILE, **kw)
+    res_x, s_x = racing_sweep_dynamic(backend="xla", **kw)
+    # f32 kernel (polynomial atan) vs x64 XLA (exact atan) with independent
+    # per-backend solver adaptivity, compounded over the closed loop — the
+    # trajectories must stay together at the centimeter level (the per-solve
+    # stationarity gate above is the tight equivalence check)
+    np.testing.assert_allclose(
+        np.asarray(res_p.inputs), np.asarray(res_x.inputs), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_p.states), np.asarray(res_x.states), atol=2e-2
+    )
+    assert s_p["success_rate"] == 1.0
+    assert s_p["model"] == "dynamic-pacejka"
+    assert s_p["backend"] == "pallas"

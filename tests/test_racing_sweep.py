@@ -121,10 +121,14 @@ def test_dynamic_tier_sweep_tracks_under_grip_mismatch():
     """6-state Pacejka tier at speed beyond the kinematic cap: perturbed tire
     peaks (df/dr) + friction against a nominal-model controller — the lap
     still tracks at the few-cm level (the reference's dormant tire-parameter
-    surface, driven at batch scale)."""
+    surface, driven at batch scale). The XLA backend here (fast on CPU); the
+    fused-kernel twin and the pallas-vs-xla closed-loop gate live in
+    tests/test_pallas_ilqr_dyn.py."""
     from model_predictive_control_tpu.parallel.batch import racing_sweep_dynamic
 
-    res, s = racing_sweep_dynamic(batch=4, steps=12, key=jax.random.PRNGKey(5))
+    res, s = racing_sweep_dynamic(
+        batch=4, steps=12, key=jax.random.PRNGKey(5), backend="xla"
+    )
     assert s["success_rate"] == 1.0
     assert s["mean_tracking_error"] < 0.08
     assert s["model"] == "dynamic-pacejka"
