@@ -1440,3 +1440,162 @@ def wind_sweep(
         ),
     }
     return res, summary
+
+
+def mhe_loop_sweep(
+    batch: int,
+    steps: int,
+    key=None,
+    N: int = 20,
+    M: int = 10,
+    meas_sigma: float = 0.1,
+    process_sigma: float = 0.02,
+    mpc_iters: int = 200,
+    mpc_rho: float = 0.02,
+    mhe_iters: int = 100,
+    tile: int = 2048,
+    dtype=jnp.float32,
+) -> tuple[BatchSimResult, dict]:
+    """Batched MHE-in-the-loop output feedback (VERDICT r3 item 2): the
+    session-2 braking loop closed on NOISY POSITION MEASUREMENTS at pod
+    scale, with BOTH halves riding the fused Pallas ADMM kernel —
+
+    - the estimator: bounded linear-MHE windows (``estimation.MHE.
+      solve_batch``, state box = the problem's physical box, warm-started
+      window to window),
+    - the controller: slack-softened session-2 MPC
+      (``LinearMPCController.batched_policy`` — estimation error can push the
+      estimate slightly outside the nominal feasible set, the production
+      reason for the soft stack),
+
+    one jitted scan over plant steps. The scalar twin (KF-equivalence-gated)
+    is ``estimation_nl.py::mhe_output_feedback_policy`` /
+    ``tests/test_estimation_nl.py::test_mhe_in_the_loop_output_feedback``.
+    """
+    import model_predictive_control_tpu as mpc
+    from ..estimation import make_mhe
+    from ..utils.precision import solver_precision
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_x0, k_w, k_v = jax.random.split(key, 3)
+
+    problem = mpc.session2_problem(N=N)
+    system = problem.system(dtype)
+    C = jnp.asarray([[1.0, 0.0]], dtype)  # position-only measurement
+    msys = type(system)(A=system.A, B=system.B, C=C)
+    Qw = (process_sigma**2) * jnp.eye(2, dtype=dtype)
+    Rv = jnp.asarray([[meas_sigma**2]], dtype)
+    # the MHE's hard box is the PHYSICAL envelope, not the controller's
+    # operating box: the soft-state MPC can transiently exceed the operating
+    # bounds (that is what the slacks are for), and an estimator whose bounds
+    # exclude reachable states diverges (measured: v clamped at 25 while the
+    # plant coasted to 45 under a weak slack penalty). Margin = 5 m / 5 m/s
+    # over the operating box; the heavy slack weight below keeps real
+    # violations at the noise level.
+    mhe = make_mhe(
+        msys, Qw, Rv, P0=0.1 * jnp.eye(2, dtype=dtype), M=M,
+        x_min=jnp.asarray([problem.p_min - 5.0, problem.v_min - 5.0], dtype),
+        x_max=jnp.asarray([problem.p_max + 5.0, problem.v_max + 5.0], dtype),
+        iters=mhe_iters,
+    )
+    ctrl = jax.jit(
+        lambda: mpc.make_linear_mpc(
+            problem, solver="admm", iters=mpc_iters, dtype=dtype,
+            soft_state=True, slack_weight=1e4, rho=mpc_rho,
+        )
+    )()
+    mpc_policy = ctrl.batched_policy(backend="pallas", tile=tile)
+
+    # feasible starts: the M-step backward-consistent warm-up history (below)
+    # must stay inside the MHE's state box, and worst-case braking must stop
+    # before the p_max wall (the tube_sweep sampling rationale)
+    v0 = jax.random.uniform(
+        jax.random.fold_in(k_x0, 1), (batch,), minval=-10.0, maxval=20.0
+    )
+    hist = float(M * problem.Ts)
+    p_lo = -145.0 + hist * jnp.maximum(v0, 0.0)
+    p_hi = jnp.minimum(-30.0, -5.0 - hist * jnp.maximum(-v0, 0.0))
+    p0 = p_lo + jax.random.uniform(k_x0, (batch,)) * (p_hi - p_lo)
+    x0s = jnp.stack([p0, v0], axis=1).astype(dtype)
+    ws = process_sigma * jax.random.normal(k_w, (steps, batch, 2), dtype)
+    vs = meas_sigma * jax.random.normal(k_v, (steps, batch, 1), dtype)
+    A, B = system.A, system.B
+
+    def policy(x_batch, t, carry):
+        ys_buf, us_buf, xbar, mpc_carry, mhe_warm = carry
+        v = jax.lax.dynamic_index_in_dim(vs, t, axis=0, keepdims=False)
+        y = x_batch @ C.T + v  # (B, 1)
+        ys_buf = jnp.concatenate([ys_buf[:, 1:], y[:, None]], axis=1)
+        x_t, X, w, sol = mhe.solve_batch(
+            xbar, us_buf, ys_buf, backend="pallas", tile=tile, warm=mhe_warm
+        )
+        u, mpc_carry, mpc_aux = mpc_policy(x_t, t, mpc_carry)
+        # frozen-arrival recursion, batched (mhe_trajectory semantics)
+        xbar_next = X[:, 0] @ A.T + u @ B.T + w[:, 0]
+        us_buf = jnp.concatenate([us_buf[:, 1:], u[:, None]], axis=1)
+        aux = {
+            "solver_success": mpc_aux["solver_success"],
+            "mhe_converged": sol.converged,
+            "state_estimate": x_t,
+        }
+        return u, (ys_buf, us_buf, xbar_next, mpc_carry, (sol.x, sol.y)), aux
+
+    cfg = ("mheloop", N, M, float(meas_sigma), float(process_sigma),
+           mpc_iters, float(mpc_rho), mhe_iters, tile, steps,
+           jnp.dtype(dtype).name)
+    seg = _SEGMENT_CACHE.get(cfg)
+    if seg is None:
+        @solver_precision  # estimation-grade linalg end to end
+        def seg_fn(x0s_, ws_, carry_):
+            return simulate_batch(
+                x0s_, system, steps, policy, carry_, disturbances=ws_
+            )
+
+        seg = jax.jit(seg_fn)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[cfg] = seg
+
+    # warm-up buffers: a backward-consistent constant-velocity history (zero
+    # input, zero process noise — EXACTLY representable by the model), so the
+    # first window's estimate is already x0 and the controller never flies
+    # blind. Strictly better than the scalar policy's replicated-y0 fiction
+    # (at v=20, Ts=0.3, M=10 that fiction blinds the controller for 60 m).
+    offs = (M - jnp.arange(M + 1, dtype=dtype)) * jnp.asarray(
+        problem.Ts, dtype
+    )
+    p_hist = x0s[:, 0:1] - offs[None, :] * x0s[:, 1:2]  # (B, M+1)
+    ys_buf0 = p_hist[:, :, None]
+    us_buf0 = jnp.zeros((batch, M, 1), dtype)
+    xbar0 = jnp.stack(
+        [x0s[:, 0] - float(M * problem.Ts) * x0s[:, 1], x0s[:, 1]], axis=1
+    )  # arrival mean for the window HEAD (the oldest state), not the end
+    nz = 2 + M * 2
+    rows = mhe.op.A_c.shape[0] if mhe.op is not None else 0
+    mhe_warm0 = (
+        jnp.zeros((batch, nz), dtype), jnp.zeros((batch, rows), dtype)
+    )
+    # deep adaptive presolve at the initial states lifts step 0 to the
+    # warm-started success rate (the bench.py pattern)
+    mpc_warm0 = ctrl.presolve_batch_carry(x0s, iters_mult=4, tile=tile)
+    carry0 = (ys_buf0, us_buf0, xbar0, mpc_warm0, mhe_warm0)
+    res = seg(x0s, ws, carry0)
+
+    # the step-t window end estimates the PRE-step state (the one measured)
+    est_err = res.logs["state_estimate"] - res.states[:-1]
+    tail = est_err[M + 2:]
+    summary = {
+        "batch": int(batch),
+        "steps": int(steps),
+        "M": int(M),
+        "success_rate": float(
+            jnp.mean(res.logs["solver_success"].astype(jnp.float32))
+        ),
+        "mhe_converged_rate": float(
+            jnp.mean(res.logs["mhe_converged"].astype(jnp.float32))
+        ),
+        "est_rmse_pos": float(jnp.sqrt(jnp.mean(tail[..., 0] ** 2))),
+        "est_rmse_vel": float(jnp.sqrt(jnp.mean(tail[..., 1] ** 2))),
+        "median_final_pos": float(jnp.median(jnp.abs(res.states[-1][:, 0]))),
+    }
+    return res, summary

@@ -371,6 +371,7 @@ def pdip_solve(
     u: jnp.ndarray,
     iters: int = 25,
     eps_abs: float | None = None,
+    polish: bool = True,
 ) -> QPSolution:
     """Mehrotra predictor-corrector primal-dual interior point on
     ``min ½xᵀPx + qᵀx s.t. Gx ≤ h`` with ``G = [A_c; −A_c]``, ``h = [u; −l]``.
@@ -378,6 +379,13 @@ def pdip_solve(
     ±inf bounds are masked out (their rows contribute nothing to the Newton system).
     Fixed iteration count; the iterate freezes once converged (masked updates), so
     batching never branches.
+
+    ``polish=False`` skips the final active-set polish (an (n+m)² KKT solve
+    whose batched LU exceeds the TPU's 16 MB scoped-VMEM budget at n+m ≈ 88
+    under ``vmap`` — XLA's ``InvertDiagBlocksUpperTriangular`` allocates a
+    fixed ~19 MB regardless of batch). Callers that consume only the primal
+    (e.g. the bounded Gauss-Newton step in :class:`...estimation_nl.
+    NonlinearMHE`) lose nothing.
     """
     dtype = op.P.dtype
     P, A_c = op.P, op.A_c
@@ -471,12 +479,13 @@ def pdip_solve(
 
     # Interior-point duals converge slower than the primal; polish with the
     # active set read off the slack/multiplier ratio (active ⇔ λ dominates s).
-    upper_active = (mask[:m_r] > 0) & (lam[:m_r] > s[:m_r])
-    lower_active = (mask[m_r:] > 0) & (lam[m_r:] > s[m_r:])
-    x, y, z = _polish(
-        op, q, l, u, x, y, z,
-        lower_active=lower_active, upper_active=upper_active,
-    )
+    if polish:
+        upper_active = (mask[:m_r] > 0) & (lam[:m_r] > s[:m_r])
+        lower_active = (mask[m_r:] > 0) & (lam[m_r:] > s[m_r:])
+        x, y, z = _polish(
+            op, q, l, u, x, y, z,
+            lower_active=lower_active, upper_active=upper_active,
+        )
     rp, rd = _unscaled_residuals(op, x, y, z, q)
     scale = 1.0 + jnp.max(jnp.abs(q))
     converged = jnp.logical_and(rp < eps_abs * scale, rd < eps_abs * scale)

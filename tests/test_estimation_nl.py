@@ -280,6 +280,54 @@ def test_mhe_in_the_loop_output_feedback():
     assert float(jnp.abs(xs[-1] - xs_kf[-1]).max()) < 0.05
 
 
+def test_admm_inner_solver_matches_pdip():
+    """qp_solver="admm" (the solve_batch throughput path — PDIP's batched
+    KKT LUs serialize on TPU, measured 940 vs 16k windows/s) produces the
+    same bounded estimates as the default PDIP step."""
+    from model_predictive_control_tpu.ops.integrators import rk4
+
+    params = VehicleParameters()
+    ts, M = 0.05, 8
+    dt = jnp.float64
+    step_fn = rk4(lambda x, u: kinematic_bicycle_ode(params, x, u), ts)
+    obs_fn = lambda x: x[:2]
+    Qw = jnp.diag(jnp.asarray([1e-6, 1e-6, 1e-5, 1e-3], dt))
+    Rv = (0.1**2) * jnp.eye(2, dtype=dt)
+    P0 = jnp.diag(jnp.asarray([1e-4, 1e-4, 1e-3, 1e-2], dt))
+    kw = dict(x_min=[-3.0, -2.0, -7.0, 0.0], x_max=[3.0, 2.0, 7.0, 1.0],
+              gn_iters=3)
+    mhe_p = NonlinearMHE(step_fn, obs_fn, Qw, Rv, P0, M, nx=4, qp_iters=25,
+                         **kw)
+    mhe_a = NonlinearMHE(step_fn, obs_fn, Qw, Rv, P0, M, nx=4, qp_iters=80,
+                         qp_solver="admm", **kw)
+
+    key = jax.random.PRNGKey(2)
+    x0 = jnp.asarray([0.1, -0.2, 0.3, 0.05], dt)
+    us = jnp.tile(jnp.asarray([[0.2, 0.05]], dt), (M, 1))
+
+    def roll(x, us):
+        xs = [x]
+        for u in us:
+            x = step_fn(x, u)
+            xs.append(x)
+        return jnp.stack(xs)
+
+    Xs = roll(x0, us)
+    ys = jax.vmap(obs_fn)(Xs) + 0.1 * jax.random.normal(key, (M + 1, 2), dt)
+    xM_p, X_p, _ = mhe_p.solve(x0, us, ys)
+    xM_a, X_a, _ = mhe_a.solve(x0, us, ys)
+    np.testing.assert_allclose(np.asarray(X_a), np.asarray(X_p), atol=1e-5)
+    assert float(X_a[..., 3].min()) > -1e-8  # bound still respected
+
+    # solve_batch wraps the same solve
+    xb = jnp.stack([x0, x0 + 0.01])
+    ub = jnp.stack([us, us])
+    yb = jnp.stack([ys, ys + 0.01])
+    xM_b, X_b, _ = mhe_a.solve_batch(xb, ub, yb)
+    np.testing.assert_allclose(np.asarray(xM_b[0]), np.asarray(xM_a),
+                               atol=1e-9)
+
+
 def test_dynamic_tier_mhe_window():
     """The Gauss-Newton MHE is model-agnostic: one bounded window solve on the
     6-state dynamic (Pacejka) tier reconstructs the state from position+heading
