@@ -63,6 +63,7 @@ class BatchedALILQRSolution:
     xs: jnp.ndarray  # (B, N + 1, 4)
     viol: jnp.ndarray  # (B,)
     converged: jnp.ndarray  # (B,) bool
+    lam: jnp.ndarray  # (B, N, nc) converged AL multipliers (warm-start handle)
 
 
 def _alilqr_tile_kernel(
@@ -90,6 +91,7 @@ def _alilqr_tile_kernel(
     track: bool = False,
     has_dist: bool = False,
     has_uref: bool = False,
+    has_lam: bool = False,
 ):
     # remaining positional refs, in pallas_call order:
     #   [ref_ref (N+1, 4, T) — tracking reference, only when track=True]
@@ -98,7 +100,13 @@ def _alilqr_tile_kernel(
     #    wind-compensated stack, round 4 — one extra operand per lane)]
     #   [uref_ref (N, 2, T) — per-scenario input reference, when has_uref:
     #    the stage cost penalizes (u − u_ref) instead of u]
-    #   us_out (N, 2, T), xs_out (N+1, 4, T), viol_out (1, T), conv_out (1, T)
+    #   [lam0_ref (N, nc, T) — AL-multiplier warm start, when has_lam: the
+    #    receding-horizon loop shifts and re-feeds the converged multipliers
+    #    so persistently-active constraint rows (the obstacle clearances on
+    #    behind-the-obstacle parking starts) start each step near their
+    #    fixed point instead of λ = 0 (round 4, the parking-tail fix)]
+    #   us_out (N, 2, T), xs_out (N+1, 4, T), viol_out (1, T), conv_out (1, T),
+    #   lam_out (N, nc, T)
     #   scratch: xs_s, us_s, xs_c, us_c (trajectory/candidate buffers),
     #   k_s (N, 2, T), K_s (N, 8, T), lam_s (N, NC, T)
     if track:
@@ -113,8 +121,12 @@ def _alilqr_tile_kernel(
         uref_ref, *rest = rest
     else:
         uref_ref = None
+    if has_lam:
+        lam0_ref, *rest = rest
+    else:
+        lam0_ref = None
     (
-        us_out, xs_out, viol_out, conv_out,
+        us_out, xs_out, viol_out, conv_out, lam_out,
         xs_s, us_s, xs_c, us_c, k_s, K_s, lam_s,
     ) = rest
     f32 = jnp.float32
@@ -735,7 +747,10 @@ def _alilqr_tile_kernel(
     # ---- init + run ---------------------------------------------------------------
     def init_body(t_i, _):
         us_s[t_i] = u0_ref[t_i]
-        lam_s[t_i] = jnp.zeros((nc, T), f32)
+        if has_lam:
+            lam_s[t_i] = lam0_ref[t_i]
+        else:
+            lam_s[t_i] = jnp.zeros((nc, T), f32)
         return 0
 
     jax.lax.fori_loop(0, N, init_body, 0)
@@ -750,6 +765,7 @@ def _alilqr_tile_kernel(
     def out_body(t_i, _):
         us_out[t_i] = us_s[t_i]
         xs_out[t_i] = xs_s[t_i]
+        lam_out[t_i] = lam_s[t_i]
         return 0
 
     jax.lax.fori_loop(0, N, out_body, 0)
@@ -774,6 +790,7 @@ def al_ilqr_solve_pallas(
     refs: jnp.ndarray | None = None,  # (B, N+1, 4) tracking reference windows
     dist: jnp.ndarray | None = None,  # (B, 4) additive state offset B_d d̂
     urefs: jnp.ndarray | None = None,  # (B, N, 2) input references
+    lam_init: jnp.ndarray | None = None,  # (B, N, nc) AL-multiplier warm start
     *,
     N: int,
     ts: float,
@@ -817,6 +834,7 @@ def al_ilqr_solve_pallas(
     track = refs is not None
     has_dist = dist is not None
     has_uref = urefs is not None
+    has_lam = lam_init is not None
 
     Bp = ((B + tile - 1) // tile) * tile
     pad = Bp - B
@@ -829,6 +847,8 @@ def al_ilqr_solve_pallas(
         dist_l = jnp.transpose(dist.astype(f32))  # (4, B)
     if has_uref:
         uref_l = jnp.transpose(urefs.astype(f32), (1, 2, 0))  # (N, 2, B)
+    if has_lam:
+        lam_l = jnp.transpose(lam_init.astype(f32), (1, 2, 0))  # (N, nc, B)
     if pad:
         x0_l = jnp.pad(x0_l, ((0, 0), (0, pad)))
         u0_l = jnp.pad(u0_l, ((0, 0), (0, 0), (0, pad)))
@@ -840,6 +860,8 @@ def al_ilqr_solve_pallas(
             dist_l = jnp.pad(dist_l, ((0, 0), (0, pad)))
         if has_uref:
             uref_l = jnp.pad(uref_l, ((0, 0), (0, 0), (0, pad)))
+        if has_lam:
+            lam_l = jnp.pad(lam_l, ((0, 0), (0, 0), (0, pad)))
 
     kernel = functools.partial(
         _alilqr_tile_kernel,
@@ -863,6 +885,7 @@ def al_ilqr_solve_pallas(
         track=track,
         has_dist=has_dist,
         has_uref=has_uref,
+        has_lam=has_lam,
     )
 
     grid = (Bp // tile,)
@@ -882,17 +905,24 @@ def al_ilqr_solve_pallas(
     if has_uref:
         in_specs.append(spec3(N, NU))
         inputs.append(uref_l)
+    if has_lam:
+        in_specs.append(spec3(N, nc))
+        inputs.append(lam_l)
 
-    us_l, xs_l, viol_l, conv_l = pl.pallas_call(
+    us_l, xs_l, viol_l, conv_l, lam_out_l = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[spec3(N, NU), spec3(N + 1, NX), spec2(1), spec2(1)],
+        out_specs=[
+            spec3(N, NU), spec3(N + 1, NX), spec2(1), spec2(1),
+            spec3(N, nc),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((N, NU, Bp), f32),
             jax.ShapeDtypeStruct((N + 1, NX, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
+            jax.ShapeDtypeStruct((N, nc, Bp), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N + 1, NX, tile), f32),  # xs_s
@@ -922,8 +952,10 @@ def al_ilqr_solve_pallas(
 
     us = jnp.transpose(us_l, (2, 0, 1))[:B]
     xs = jnp.transpose(xs_l, (2, 0, 1))[:B]
+    lam = jnp.transpose(lam_out_l, (2, 0, 1))[:B]
     return BatchedALILQRSolution(
-        us=us, xs=xs, viol=viol_l[0, :B], converged=conv_l[0, :B] > 0.5
+        us=us, xs=xs, viol=viol_l[0, :B], converged=conv_l[0, :B] > 0.5,
+        lam=lam,
     )
 
 

@@ -118,6 +118,7 @@ def batched_parking_policy(
     solver: str = "ilqr",
     outer_iters: int = 6,
     inner_iters: int = 15,
+    mu_init: float = 10.0,
     backend: str = "pallas",
     tile: int = 512,
     mesh=None,
@@ -208,6 +209,7 @@ def batched_parking_policy(
             )
 
             n_circ = 0 if x_obs_raw is None else 3
+            nc = 2 * 4 + 2 * NU + n_circ * n_circ
             geom, limits = parking_geometry(
                 model_params, x_obs_raw, n_circles=3
             )
@@ -217,22 +219,37 @@ def batched_parking_policy(
                 float(qn_scale),
             )
 
-            def solve_local(x_batch, warm, accv, fricv):
+            def solve_local(x_batch, warm, lam_warm, accv, fricv):
                 B = x_batch.shape[0]
                 tile_eff = min(tile, ((B + 127) // 128) * 128)
                 sol = al_ilqr_solve_pallas(
                     x_batch, warm.reshape(B, N, NU), accv, fricv,
+                    lam_init=lam_warm,
                     N=N, ts=float(ts), geom=geom, limits=limits,
                     weights=weights, n_circles=n_circ,
                     outer_iters=outer_iters, inner_iters=inner_iters,
+                    mu_init=mu_init,
                     viol_tol=1e-4, tile=tile_eff,
                 )
                 u_next = jnp.concatenate(
                     [sol.us[:, 1:], sol.us[:, -1:]], axis=1
                 )
+                # shift the converged multipliers one stage (repeat last),
+                # decayed, and only for lanes whose solve converged —
+                # persistently-active rows (obstacle clearances) then start
+                # the next receding-horizon step near their fixed point.
+                # Undecayed/unmasked carry-over was measured WORSE than cold
+                # (0.88 vs 0.93 success): stale multipliers on rows leaving
+                # the active set bias the next solve.
+                lam_next = 0.7 * jnp.where(
+                    sol.converged[:, None, None],
+                    jnp.concatenate([sol.lam[:, 1:], sol.lam[:, -1:]], axis=1),
+                    0.0,
+                )
                 return (
                     sol.us[:, 0],
                     u_next.reshape(B, N * NU),
+                    lam_next,
                     sol.converged,
                     sol.viol,
                 )
@@ -247,27 +264,34 @@ def batched_parking_policy(
                 solve = jax.shard_map(
                     solve_local,
                     mesh=mesh,
-                    in_specs=(spec, spec, spec, spec),
-                    out_specs=(spec, spec, spec, spec),
+                    in_specs=(spec, spec, spec, spec, spec),
+                    out_specs=(spec, spec, spec, spec, spec),
                     check_vma=False,
                 )
 
             def policy_pallas(x_batch, t, carry):
                 B = x_batch.shape[0]
+                u_warm, lam_warm = carry
                 accv = jnp.broadcast_to(
                     jnp.asarray(model_params.acceleration, dtype), (B,)
                 )
                 fricv = jnp.broadcast_to(
                     jnp.asarray(model_params.friction, dtype), (B,)
                 )
-                u0, warm, conv, viol = solve(x_batch, carry, accv, fricv)
+                u0, warm, lam_next, conv, viol = solve(
+                    x_batch, u_warm, lam_warm, accv, fricv
+                )
                 aux = {
                     "solver_success": conv,
                     "kkt_res": viol,
                     "viol": viol,
                 }
-                return u0, warm, aux
+                return u0, (warm, lam_next), aux
 
+            policy_pallas.initial_carry = lambda batch, dt=dtype: (
+                initial_warm_carry(batch, N, dtype=dt),
+                jnp.zeros((batch, N, nc), dt),
+            )
             return policy_pallas
         # fall through to the vmapped XLA path for exotic perturbations
 
@@ -348,6 +372,7 @@ def parking_sweep(
     solver: str = "ilqr",
     outer_iters: int = 6,
     inner_iters: int = 15,
+    mu_init: float = 10.0,
     backend: str = "pallas",
     tile: int = 512,
     plant_substeps: int = 16,
@@ -358,6 +383,24 @@ def parking_sweep(
 ) -> tuple[BatchSimResult, dict]:
     """The pod-scale robustness sweep: ``batch`` scenarios (randomized x0 ×
     perturbed plant), closed-loop obstacle parking, one jitted scan per segment.
+
+    **Convergence-tail characterization (round 4, tools/sweep_diag.py).** At
+    the default config ~7% of (scenario, step) solves report viol > 1e-4.
+    The tail is GEOMETRIC, not a budget artifact: failing scenarios start
+    behind the obstacle relative to the goal (tail mean start (0.44, −0.05)
+    vs converged (0.24, −0.16); obstacle at (0.25, 0)) and their
+    swing-around maneuvers graze the covering-circle clearance (median
+    shortfall 1.8e-3 m² ≈ mm-scale on an over-approximating inflated
+    boundary) persistently across steps. Perturbation magnitudes are
+    identical between tail and converged scenarios. Budget/penalty knobs
+    move the number only marginally and trade against parking quality:
+    outer 8 / inner 25 → success 0.942 at HALF throughput; ``mu_init=200`` →
+    0.945 but parked_frac 0.984 → 0.971; decayed+converged-masked λ
+    warm-start (shipped) → 0.933 at equal cost; naive λ carry-over → 0.88
+    (stale multipliers bias rows leaving the active set). Fully-converged
+    scenarios park at 0.997; the tail itself still parks at 0.97 — the
+    floors in BENCH_CONTRACT.json (success ≥ 0.90, parked ≥ 0.95) reflect
+    this measured structure.
 
     ``mesh``: optional device mesh — inputs are placed with the scenario axis
     sharded over the data axis (ICI/DCN); the per-scenario solves are
@@ -394,38 +437,46 @@ def parking_sweep(
                 x0s, plant, n_steps, policy, carry, batched_dynamics=True
             )
 
-        return jax.jit(segment, static_argnums=3)
+        carry_fn = getattr(
+            policy, "initial_carry",
+            lambda b, dt=dtype: initial_warm_carry(b, N, dtype=dt),
+        )
+        return jax.jit(segment, static_argnums=3), carry_fn
 
     policy_kwargs = dict(
         N=N, ts=ts, x_obs=x_obs,
         sqp_iters=sqp_iters, qp_iters=qp_iters, solver=solver,
-        outer_iters=outer_iters, inner_iters=inner_iters,
+        outer_iters=outer_iters, inner_iters=inner_iters, mu_init=mu_init,
         backend=backend, tile=tile, mesh=mesh, dtype=dtype,
     )
     if controller_knows:
         # policy closes over per-scenario model-parameter arrays — not cacheable
-        seg_fn = build_segment(batched_parking_policy(model_params, **policy_kwargs))
+        seg_fn, carry_fn = build_segment(
+            batched_parking_policy(model_params, **policy_kwargs)
+        )
     else:
         cfg = (
             N, float(ts),
             None if x_obs is None else tuple(float(v) for v in np.asarray(x_obs)),
             sqp_iters, qp_iters, solver, outer_iters, inner_iters,
+            float(mu_init),
             backend, tile, plant_substeps, mesh, jnp.dtype(dtype).name,
             tuple(
                 float(getattr(base, f.name))
                 for f in dataclasses.fields(base)
             ),
         )
-        seg_fn = _SEGMENT_CACHE.get(cfg)
-        if seg_fn is None:
+        cached = _SEGMENT_CACHE.get(cfg)
+        if cached is None:
             if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
                 _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
-            seg_fn = build_segment(
+            cached = build_segment(
                 batched_parking_policy(model_params, **policy_kwargs)
             )
-            _SEGMENT_CACHE[cfg] = seg_fn
+            _SEGMENT_CACHE[cfg] = cached
+        seg_fn, carry_fn = cached
 
-    carry0 = initial_warm_carry(batch, N, dtype=dtype)
+    carry0 = carry_fn(batch)
 
     if checkpoint_every <= 0:
         res = seg_fn(x0s, plant_params, carry0, steps)
@@ -440,7 +491,9 @@ def parking_sweep(
                 checkpoint_path, (x0s, carry0)
             )
             x_cur = jnp.asarray(x_cur, dtype=dtype)
-            carry = jnp.asarray(carry, dtype=dtype)
+            carry = jax.tree.map(
+                lambda l: jnp.asarray(l, dtype=dtype), carry
+            )
         pieces = []
         step_i = start
         x_start = x_cur  # resumed runs return only the remaining segments
