@@ -108,6 +108,52 @@ def build():
     return jax.jit(run_batch)
 
 
+def measure_delivered(steps: int = 10) -> float:
+    """Mean EXECUTED ADMM iterations per solve on the warm closed loop
+    (round 4, measured roofline): a short instrumented episode through the
+    kernel's ``return_iters`` output — the early-exit-aware count that turns
+    the full-budget FLOP model into delivered work."""
+    import model_predictive_control_tpu as mpc
+    from model_predictive_control_tpu.ops.pallas.admm_kernel import (
+        admm_solve_pallas,
+    )
+
+    problem = mpc.session2_problem(N=HORIZON)
+    ctrl = jax.jit(
+        lambda: mpc.make_linear_mpc(
+            problem, solver="admm", iters=ADMM_ITERS, dtype=jnp.float32,
+            rho=RHO,
+        )
+    )()
+    system = problem.system(jnp.float32)
+    nu = ctrl.qp.nu
+
+    def policy(x_batch, t, carry):
+        warm_x, warm_y = carry
+        q, l, u = jax.vmap(ctrl.qp.qp_vectors)(x_batch)
+        sol, ni = admm_solve_pallas(
+            ctrl.op, q, l, u, warm_x, warm_y, iters=ADMM_ITERS, chunks=2,
+            max_rho_moves=0, polish=False, probe_iters=PROBE_ITERS,
+            tile=TILE, return_iters=True,
+        )
+        wx, wy = ctrl._shift_warm(sol.x, sol.y, axis=1)
+        return sol.x[:, :nu], (wx, wy), {"ni": ni}
+
+    x0s = initial_states()
+
+    @jax.jit
+    def run(x0s):
+        carry = ctrl.presolve_batch_carry(
+            x0s, iters_mult=PRESOLVE_MULT, tile=TILE
+        )
+        res = simulate_batch(x0s, system, steps, policy, carry)
+        return res.logs["ni"]
+
+    ni = run(x0s)
+    jax.block_until_ready(ni)
+    return float(jnp.mean(ni))
+
+
 def initial_states():
     kp = jax.random.PRNGKey(0)
     kv = jax.random.PRNGKey(1)
@@ -149,6 +195,19 @@ def diagnose(success, x0s) -> None:
 
 
 def main() -> None:
+    if "--multichip" in sys.argv:
+        # Weak-scaling harness (round 4, VERDICT r3 item 6): per-chip solves/s
+        # + efficiency over a data-axis mesh ladder. On this 1-chip
+        # environment it measures the d=1 point; the full ladder runs on the
+        # virtual CPU mesh as a plumbing gate (labeled non_performance) —
+        # see parallel/podscale.py for the predicted real scaling.
+        from model_predictive_control_tpu.parallel.podscale import weak_scaling
+
+        out = weak_scaling(batch_per_device=BATCH // 8, steps=STEPS,
+                           horizon=HORIZON, iters=ADMM_ITERS, tile=TILE)
+        print(json.dumps(out))
+        return
+
     run_batch = build()
     x0s = initial_states()
 
@@ -181,6 +240,23 @@ def main() -> None:
         cg_iters=0,  # polish off on the hot path (round 3)
     ).achieved(solves_per_s)
 
+    # delivered-work MFU (round 4): the same model with the MEASURED executed
+    # iteration count (early exits) instead of the 80-iteration budget — the
+    # number that says how much work the chip actually did per solve
+    mean_ni = measure_delivered()
+    roof_d = admm_kernel_roofline(
+        n=HORIZON, m=3 * HORIZON, iters=mean_ni, chunks=2, cg_iters=0,
+    ).achieved(solves_per_s)
+    delivered = {
+        "mean_executed_iters": round(mean_ni, 2),
+        "budget_iters": ADMM_ITERS,
+        "delivered_gflops": roof_d["achieved_gflops"],
+        "delivered_frac_of_peak": roof_d["frac_of_peak"],
+        "delivered_frac_of_structural_ceiling": roof_d[
+            "frac_of_structural_ceiling"
+        ],
+    }
+
     print(
         json.dumps(
             {
@@ -200,6 +276,7 @@ def main() -> None:
                 "achieved_gflops": roof["achieved_gflops"],
                 "frac_of_peak": roof["frac_of_peak"],
                 "roofline": roof,
+                "delivered_mfu": delivered,
             }
         )
     )

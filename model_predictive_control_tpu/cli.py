@@ -196,6 +196,12 @@ def main(argv=None) -> int:
     pp.add_argument("--horizon", type=int, default=20)
     pp.add_argument("--iters", type=int, default=100)
     pp.add_argument(
+        "--scaling", action="store_true",
+        help="weak-scaling ladder over the device mesh (per-chip solves/s + "
+        "efficiency; on the 1-chip TPU this measures d=1, on the virtual "
+        "CPU mesh it is a plumbing gate)",
+    )
+    pp.add_argument(
         "--backend", choices=("pallas", "xla"), default="pallas",
         help="pallas = fused VMEM kernel (TPU); xla = vmap reference path",
     )
@@ -435,6 +441,14 @@ def _podscale(args) -> dict:
     at configurable scale; ``bench.py`` runs the fixed 65k headline shape)."""
     import jax
     import jax.numpy as jnp
+
+    if getattr(args, "scaling", False):
+        from .parallel.podscale import weak_scaling
+
+        return weak_scaling(
+            batch_per_device=args.batch, steps=args.steps,
+            horizon=args.horizon, iters=args.iters,
+        )
 
     from . import make_linear_mpc, session2_problem
     from .control.batch_loop import simulate_batch

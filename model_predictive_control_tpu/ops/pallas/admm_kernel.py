@@ -97,6 +97,7 @@ def _admm_tile_kernel(
     x_out,  # (T, n)
     z_out,  # (T, m)
     y_out,  # (T, m)
+    ni_out,  # (T, 1) executed ADMM iterations (tile-wide; early-exit aware)
     *,
     iters: int,
     chunks: int,
@@ -297,7 +298,15 @@ def _admm_tile_kernel(
         jnp.zeros((T, m), f32), jnp.zeros((T, n), f32), jnp.zeros((T, n), f32),
     )
     state = jax.lax.while_loop(not_done, chunk_body, state)
-    C, Y, _, _, _, _conv_final, Ax_f, Px_f, Aty_f = state
+    C, Y, _, ci_f, _, _conv_final, Ax_f, Px_f, Aty_f = state
+    # delivered-work accounting (round 4, measured roofline): the executed
+    # iteration count is the prefix sum of the static chunk schedule up to the
+    # exit chunk — written per tile so bench.py can report delivered-FLOPs MFU
+    # next to the full-budget number
+    executed = jnp.float32(0.0)
+    for k, L in enumerate(all_lens):
+        executed = executed + jnp.where(ci_f > k, jnp.float32(L), 0.0)
+    ni_out[:] = jnp.full(ni_out.shape, 1.0, f32) * executed
     x = C[:, :n]
     z = C[:, n:]
     y = Y[:, n:]
@@ -404,7 +413,7 @@ def _admm_tile_kernel(
     jax.jit,
     static_argnames=(
         "iters", "chunks", "probe_iters", "max_rho_moves", "schedule", "tile", "interpret", "polish",
-        "cg_iters", "eps_abs", "alpha"
+        "cg_iters", "eps_abs", "alpha", "return_iters"
     ),
 )
 @solver_precision
@@ -425,6 +434,7 @@ def admm_solve_pallas(
     alpha: float = 1.6,
     eps_abs: float | None = None,
     polish: bool = True,
+    return_iters: bool = False,
     interpret: bool | None = None,
 ) -> QPSolution:
     """Batched ADMM via the fused Pallas kernel; same semantics as
@@ -432,6 +442,11 @@ def admm_solve_pallas(
 
     ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere (CPU
     tests exercise the same kernel code path).
+
+    ``return_iters=True`` additionally returns the per-scenario EXECUTED
+    ADMM iteration count (tile-granular — every scenario in a tile reports
+    the tile's count; early exits make it < ``iters``): the delivered-work
+    instrument behind ``bench.py``'s ``delivered_mfu`` (round 4).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -503,7 +518,7 @@ def admm_solve_pallas(
         (tile, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
-    x_s, z_s, y_s = pl.pallas_call(
+    x_s, z_s, y_s, ni_s = pl.pallas_call(
         kernel,
         grid=(Bp // tile,),
         in_specs=[
@@ -523,11 +538,12 @@ def admm_solve_pallas(
             tiled(n),
             tiled(m),
         ],
-        out_specs=[tiled(n), tiled(m), tiled(m)],
+        out_specs=[tiled(n), tiled(m), tiled(m), tiled(1)],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, n), f32),
             jax.ShapeDtypeStruct((Bp, m), f32),
             jax.ShapeDtypeStruct((Bp, m), f32),
+            jax.ShapeDtypeStruct((Bp, 1), f32),
         ],
         # Raise the scoped-VMEM cap above the 16 MB default: v5e has far more
         # physical VMEM, and tiles of 1024-4096 scenarios compile and run under
@@ -555,7 +571,7 @@ def admm_solve_pallas(
         y0,
     )
     if pad:
-        x_s, z_s, y_s = x_s[:B], z_s[:B], y_s[:B]
+        x_s, z_s, y_s, ni_s = x_s[:B], z_s[:B], y_s[:B], ni_s[:B]
 
     dtype = op.P.dtype
     x = (op.D * x_s).astype(dtype)
@@ -568,4 +584,7 @@ def admm_solve_pallas(
         conv = jnp.logical_and(rp < eps_abs * scale, rd < eps_abs * scale)
         return QPSolution(x=x, z=z, y=y, prim_res=rp, dual_res=rd, converged=conv)
 
-    return jax.vmap(finish)(x, y, z, q, l, u)
+    sol = jax.vmap(finish)(x, y, z, q, l, u)
+    if return_iters:
+        return sol, ni_s[:, 0]
+    return sol

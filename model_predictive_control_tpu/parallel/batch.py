@@ -888,15 +888,27 @@ def tube_sweep(
         * jnp.asarray(w_half)
     ).astype(dtype)
 
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        x0s = jax.device_put(x0s, sh)
+        # disturbances: (steps, batch, nx) — scenario axis is axis 1
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .mesh import DATA_AXIS
+
+        w = jax.device_put(w, NamedSharding(mesh, P(None, DATA_AXIS)))
+
     # jitted-segment cache (the parking_sweep re-tracing trap): keys are the
     # static knobs; the scenario data flows as arguments
     cfg = ("tube", N, tuple(float(v) for v in w_half), iters, tile, backend,
-           float(rho), steps, polish, jnp.dtype(dtype).name)
+           float(rho), steps, polish, mesh, jnp.dtype(dtype).name)
     seg = _SEGMENT_CACHE.get(cfg)
     if seg is None:
         from ..utils.precision import solver_precision
 
         kw = {"polish": polish} if backend == "pallas" else {}
+        if backend == "pallas" and mesh is not None:
+            kw["mesh"] = mesh  # shard_map the fused solve over the data axis
         policy = tube.batched_policy(
             backend=backend, tile=tile, max_rho_moves=0, **kw
         )

@@ -345,7 +345,7 @@ class LinearMPC:
         self, backend: str = "pallas", tile: int = 256, chunks: int = 2,
         max_rho_moves: int | None = None, schedule: str = "uniform",
         alpha: float = 1.6, polish: bool = True,
-        probe_iters: int | None = None,
+        probe_iters: int | None = None, mesh=None,
     ):
         """Batch-level receding-horizon policy for
         :func:`~..control.batch_loop.simulate_batch`.
@@ -367,10 +367,40 @@ class LinearMPC:
         scenarios (two equally-valid bang-bang switch orders). Keep the
         default ``True`` for cold/single solves where the polish buys the
         1e-4 oracle-grade active-set accuracy.
+
+        ``mesh`` (round 4): optional device mesh — the fused-kernel solve is
+        ``shard_map``-ped over the data axis so each device runs the kernel
+        on its local scenario shard (per-scenario solves are embarrassingly
+        parallel; the only cross-device traffic is whatever the CALLER
+        reduces). The weak-scaling harness
+        (:mod:`..parallel.podscale`) rides this path.
         """
         import jax
 
         nu, nx, N = self.qp.nu, self.qp.nx, self.qp.N
+
+        solve_sharded = None
+        if backend == "pallas" and mesh is not None and mesh.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from ..ops.pallas.admm_kernel import admm_solve_pallas
+            from ..parallel.mesh import DATA_AXIS
+
+            kw = {} if probe_iters is None else {"probe_iters": probe_iters}
+
+            def _solve_local(q, l, u, wx, wy):
+                return admm_solve_pallas(
+                    self.op, q, l, u, wx, wy, iters=self.iters,
+                    chunks=chunks, max_rho_moves=max_rho_moves,
+                    schedule=schedule, tile=tile, alpha=alpha, polish=polish,
+                    **kw,
+                )
+
+            spec = P(DATA_AXIS)
+            solve_sharded = jax.shard_map(
+                _solve_local, mesh=mesh,
+                in_specs=(spec,) * 5, out_specs=spec, check_vma=False,
+            )
 
         def policy_fn(x_batch, t, carry):
             warm_x, warm_y = carry
@@ -379,12 +409,15 @@ class LinearMPC:
                 from ..ops.pallas.admm_kernel import admm_solve_pallas
 
                 kw = {} if probe_iters is None else {"probe_iters": probe_iters}
-                sol = admm_solve_pallas(
-                    self.op, q, l, u, warm_x, warm_y, iters=self.iters,
-                    chunks=chunks, max_rho_moves=max_rho_moves,
-                    schedule=schedule, tile=tile, alpha=alpha, polish=polish,
-                    **kw,
-                )
+                if solve_sharded is not None:
+                    sol = solve_sharded(q, l, u, warm_x, warm_y)
+                else:
+                    sol = admm_solve_pallas(
+                        self.op, q, l, u, warm_x, warm_y, iters=self.iters,
+                        chunks=chunks, max_rho_moves=max_rho_moves,
+                        schedule=schedule, tile=tile, alpha=alpha,
+                        polish=polish, **kw,
+                    )
             elif backend == "xla":
                 sol = jax.vmap(
                     lambda qq, ll, uu, wx, wy: admm_solve(

@@ -114,3 +114,70 @@ def test_vmap_matches_single_scenario_solves():
     batched = jax.vmap(one)(x0s)
     singles = jnp.stack([one(x0s[i]) for i in range(3)])
     np.testing.assert_array_equal(np.asarray(batched), np.asarray(singles))
+
+
+def test_weak_scaling_harness_plumbing():
+    """Round-4 scaling instrument (VERDICT r3 item 6): the weak-scaling ladder
+    runs end to end on the virtual mesh — every point executes its sharded
+    closed loop and the report carries the efficiency profile + the
+    non-performance label (CPU numbers say nothing about real chips)."""
+    from model_predictive_control_tpu.parallel.podscale import weak_scaling
+
+    out = weak_scaling(
+        batch_per_device=8, steps=2, iters=40, tile=8, ladder=[1, 4, 8]
+    )
+    assert out["non_performance"] is True
+    assert out["predicted_real_efficiency"] == 1.0
+    assert [p["devices"] for p in out["points"]] == [1, 4, 8]
+    for p in out["points"]:
+        assert p["batch"] == 8 * p["devices"]
+        assert p["solves_per_s"] > 0
+        assert 0.0 <= p["success_rate"] <= 1.0
+    assert out["points"][0]["efficiency_vs_1"] == 1.0
+
+
+def test_sharded_batched_policy_matches_unsharded():
+    """The mesh path of LinearMPCController.batched_policy (shard_mapped fused
+    kernel per device) solves the same QPs as the unsharded call."""
+    import model_predictive_control_tpu as mpc
+    from model_predictive_control_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+    )
+
+    problem = mpc.session2_problem(N=6)
+    ctrl = mpc.make_linear_mpc(
+        problem, solver="admm", iters=400, dtype=jnp.float32
+    )
+    mesh = make_mesh(8)
+    B = 16
+    kp = jax.random.PRNGKey(0)
+    x0s = jnp.stack(
+        [
+            jax.random.uniform(kp, (B,), minval=-100.0, maxval=-20.0),
+            jax.random.uniform(
+                jax.random.fold_in(kp, 1), (B,), minval=-10.0, maxval=20.0
+            ),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    carry = ctrl.initial_batch_carry(B)
+
+    # same tile in both so the early-exit chunking matches; compare lanes
+    # that CONVERGED (unconverged cold iterates legitimately differ between
+    # tile groupings)
+    pol_plain = ctrl.batched_policy(backend="pallas", tile=2)
+    pol_mesh = ctrl.batched_policy(backend="pallas", tile=2, mesh=mesh)
+    u_a, _, aux_a = jax.jit(pol_plain)(x0s, 0, carry)
+    x0_sh = jax.device_put(x0s, batch_sharding(mesh))
+    carry_sh = jax.tree.map(
+        lambda l: jax.device_put(l, batch_sharding(mesh)), carry
+    )
+    u_b, _, aux_b = jax.jit(pol_mesh)(x0_sh, 0, carry_sh)
+    both = np.asarray(aux_a["solver_success"]) & np.asarray(
+        aux_b["solver_success"]
+    )
+    assert both.sum() >= 8  # most scenarios converge at this budget
+    np.testing.assert_allclose(
+        np.asarray(u_a)[both], np.asarray(u_b)[both], atol=2e-3
+    )
