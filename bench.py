@@ -108,7 +108,7 @@ def build():
     return jax.jit(run_batch)
 
 
-def measure_delivered(steps: int = 10) -> float:
+def measure_delivered(steps: int = STEPS) -> float:
     """Mean EXECUTED ADMM iterations per solve on the warm closed loop
     (round 4, measured roofline): a short instrumented episode through the
     kernel's ``return_iters`` output — the early-exit-aware count that turns
