@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from .solvers.qp import admm_solve, pdip_solve, qp_setup
 from .utils.precision import solver_precision
+from .utils.smallsolve import solve_spd
 
 
 class NonlinearMHE:
@@ -254,7 +255,7 @@ class NonlinearMHE:
                 # with this window's head measurement, predict through u₀
                 C = jax.jacfwd(self.obs_fn)(xbar)
                 S = C @ P0 @ C.T + self.Rv
-                K = jnp.linalg.solve(S.T, (P0 @ C.T).T).T
+                K = solve_spd(S, (P0 @ C.T).T).T
                 xf = xbar + K @ (y_w[0] - self.obs_fn(xbar))
                 KC = K @ C
                 P_corr = (I - KC) @ P0 @ (I - KC).T + K @ self.Rv @ K.T
@@ -315,7 +316,7 @@ def mhe_output_feedback_policy(ctrl, mhe: NonlinearMHE):
             # filtering arrival (Rao–Rawlings): EKF step on the head data only
             C = jax.jacfwd(mhe.obs_fn)(xbar)
             S = C @ P0 @ C.T + mhe.Rv
-            K = jnp.linalg.solve(S.T, (P0 @ C.T).T).T
+            K = solve_spd(S, (P0 @ C.T).T).T
             xf = xbar + K @ (y_head - mhe.obs_fn(xbar))
             KC = K @ C
             P_corr = (I - KC) @ P0 @ (I - KC).T + K @ mhe.Rv @ K.T

@@ -1507,6 +1507,181 @@ def wind_sweep(
     return res, summary
 
 
+def offset_free_sweep(
+    batch: int,
+    steps: int,
+    key=None,
+    N: int = 12,
+    ts: float = 0.05,
+    slope_range=(0.15, 0.45),
+    friction_scale_range=(0.7, 0.9),
+    compensate: bool = True,
+    outer_iters: int = 6,
+    inner_iters: int = 15,
+    tile: int = 512,
+    plant_substeps: int = 16,
+    dtype=jnp.float32,
+) -> tuple[BatchSimResult, dict]:
+    """Batched offset-free NONLINEAR MPC (VERDICT r3 item 2, second half):
+    the reference's exercise-5 mismatch loop (``session4_sol.py:443-488``) —
+    per-scenario slope + friction mismatch against a nominal-model parking
+    controller — closed at pod scale on the fused AL-iLQR kernel.
+
+    Per closed-loop step: vmapped disturbance-augmented EKF correct →
+    vmapped damped-Newton target solve (``(x_s, u_s)`` holding position at
+    the origin despite ``d̂``; 6×6 steps via ``utils/smallsolve``) → the
+    fused tracking kernel with the round-4 per-scenario operands (``refs`` =
+    x_s broadcast over stages, ``urefs`` = u_s, ``dist`` = d̂) → vmapped EKF
+    predict. The scalar twin is ``solvers/offset_free_nmpc.py::
+    OffsetFreeNMPC`` (tests/test_offset_free_nmpc.py).
+
+    ``compensate=False`` is the nominal ablation (d̂ forced to zero): every
+    scenario parks ~0.2-0.4 m off; compensated scenarios park at
+    matched-model accuracy.
+    """
+    from ..ops.pallas.ilqr_kernel import al_ilqr_solve_pallas, parking_geometry
+    from ..solvers.offset_free_nmpc import OffsetFreeNMPC
+    from ..solvers.parking import Q_SOL, QN_SCALE_SOL
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_s, k_f, k_x0 = jax.random.split(key, 3)
+
+    base = VehicleParameters()
+    slope = jax.random.uniform(
+        k_s, (batch,), minval=slope_range[0], maxval=slope_range[1],
+        dtype=dtype,
+    )
+    fscale = jax.random.uniform(
+        k_f, (batch,), minval=friction_scale_range[0],
+        maxval=friction_scale_range[1], dtype=dtype,
+    )
+    x0_center = jnp.asarray([0.6, -0.25, 0.0, 0.0], dtype)
+    noise = jax.random.uniform(
+        k_x0, (batch, 4), minval=-1.0, maxval=1.0, dtype=dtype
+    ) * jnp.asarray([0.1, 0.1, 0.2, 0.03], dtype)
+    x0s = x0_center + noise
+
+    step_fn = euler(lambda x, u: kinematic_bicycle_ode(base, x, u), ts)
+    ctrl = OffsetFreeNMPC(
+        step_fn, nx=NX, nu=NU, N=N,
+        Q=jnp.asarray(Q_SOL, dtype), R=jnp.asarray([1.0, 0.01], dtype),
+        QN=QN_SCALE_SOL * jnp.asarray(Q_SOL, dtype),
+        u_lb=[base.min_drive, -base.max_steer],
+        u_ub=[base.max_drive, base.max_steer],
+        r=[0.0, 0.0], dtype=dtype,
+    )
+
+    geom, _ = parking_geometry(base, None, n_circles=3)
+    limits = (
+        (-100.0, -100.0, -100.0, -100.0), (100.0, 100.0, 100.0, 100.0),
+        (float(base.min_drive), -float(base.max_steer)),
+        (float(base.max_drive), float(base.max_steer)),
+    )
+    weights = (
+        tuple(float(v) for v in Q_SOL),
+        (1.0, 0.01),
+        float(QN_SCALE_SOL),
+    )
+
+    correct_b = jax.vmap(ctrl._ekf_correct)
+    predict_b = jax.vmap(ctrl._ekf_predict)
+    target_b = jax.vmap(lambda d, xg: ctrl.solve_target(d, x_guess=xg))
+
+    def policy(y_batch, t, carry):
+        z_pred, P, u_warm = carry
+        B = y_batch.shape[0]
+        z, Pc = correct_b(z_pred, P, y_batch)
+        x_hat, d_hat = z[:, :NX], z[:, NX:]
+        if not compensate:
+            d_hat = jnp.zeros_like(d_hat)
+        x_s, u_s, t_res = target_b(d_hat, x_hat)
+        refs_b = jnp.broadcast_to(x_s[:, None], (B, N + 1, NX))
+        urefs_b = jnp.broadcast_to(u_s[:, None], (B, N, NU))
+        tile_eff = min(tile, ((B + 127) // 128) * 128)
+        accv = jnp.broadcast_to(jnp.asarray(base.acceleration, dtype), (B,))
+        fricv = jnp.broadcast_to(jnp.asarray(base.friction, dtype), (B,))
+        sol = al_ilqr_solve_pallas(
+            x_hat, u_warm.reshape(B, N, NU), accv, fricv, refs_b,
+            d_hat @ ctrl.Bd.T, urefs_b,
+            N=N, ts=float(ts), geom=geom, limits=limits, weights=weights,
+            n_circles=0, outer_iters=outer_iters, inner_iters=inner_iters,
+            viol_tol=1e-4, tile=tile_eff,
+        )
+        u0 = sol.us[:, 0]
+        warm = jnp.concatenate(
+            [sol.us[:, 1:], sol.us[:, -1:]], axis=1
+        ).reshape(B, N * NU)
+        z_next, P_next = predict_b(z, Pc, u0)
+        aux = {
+            "solver_success": sol.converged,
+            "viol": sol.viol,
+            "d_hat": d_hat,
+            "target_residual": t_res,
+            "dist_to_target": jnp.linalg.norm(y_batch[:, :2], axis=-1),
+        }
+        return u0, (z_next, P_next, warm), aux
+
+    cfg = ("offsetfree", N, float(ts), steps, bool(compensate), outer_iters,
+           inner_iters, tile, plant_substeps, jnp.dtype(dtype).name,
+           tuple(map(float, slope_range)), tuple(map(float, friction_scale_range)))
+    seg = _SEGMENT_CACHE.get(cfg)
+    if seg is None:
+        def seg_fn(x0s_, slope_, fscale_, carry_):
+            def plant_one(x, u, sl, fs):
+                p = dataclasses.replace(base)
+                drift = jnp.zeros(4, dtype).at[3].set(-sl)
+                f = lambda xx, uu: (
+                    kinematic_bicycle_ode(
+                        dataclasses.replace(
+                            base, friction=base.friction * fs
+                        ), xx, uu,
+                    )
+                    + drift
+                )
+                return rk4_fine(f, ts, substeps=plant_substeps)(x, u)
+
+            plant = jax.vmap(plant_one, in_axes=(0, 0, 0, 0))
+            return simulate_batch(
+                x0s_, lambda x, u: plant(x, u, slope_, fscale_), steps,
+                policy, carry_, batched_dynamics=True,
+            )
+
+        seg = jax.jit(seg_fn)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[cfg] = seg
+
+    nz = NX + ctrl.nd
+    z0 = jnp.concatenate([x0s, jnp.zeros((batch, ctrl.nd), dtype)], axis=1)
+    P0 = jnp.broadcast_to(
+        jax.scipy.linalg.block_diag(
+            ctrl._P0X * jnp.eye(NX, dtype=dtype),
+            ctrl._P0D * jnp.eye(ctrl.nd, dtype=dtype),
+        )[None],
+        (batch, nz, nz),
+    )
+    carry0 = (z0, P0, initial_warm_carry(batch, N, dtype=dtype))
+    res = seg(x0s, slope, fscale, carry0)
+
+    final_dist = jnp.linalg.norm(res.states[-1][:, :2], axis=-1)
+    d_last = res.logs["d_hat"][-1]  # (B, 4)
+    d_true = -slope * ts
+    summary = {
+        "batch": int(batch),
+        "steps": int(steps),
+        "compensate": bool(compensate),
+        "success_rate": float(
+            jnp.mean(res.logs["solver_success"].astype(jnp.float32))
+        ),
+        "median_final_dist": float(jnp.median(final_dist)),
+        "p95_final_dist": float(jnp.percentile(final_dist, 95.0)),
+        "d_hat_rms_error": float(
+            jnp.sqrt(jnp.mean((d_last[:, 3] - d_true) ** 2))
+        ),
+    }
+    return res, summary
+
+
 def mhe_loop_sweep(
     batch: int,
     steps: int,

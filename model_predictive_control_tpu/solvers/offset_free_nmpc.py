@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from ..control.simulate import Policy
 from ..utils.precision import solver_precision
+from ..utils.smallsolve import solve_spd
 from .ilqr import ILQRProblem, al_ilqr_solve
 
 
@@ -68,7 +69,9 @@ class _AugmentedEKF:
         I = jnp.eye(self.nx + self.nd, dtype=P.dtype)
         C = jax.jacfwd(self._obs_aug)(z_pred)
         S = C @ P @ C.T + self.Rv_mat
-        K = jnp.linalg.solve(S.T, (P @ C.T).T).T
+        # unrolled SPD solve: batched tiny LAPACK LUs serialize on XLA:TPU
+        # (utils/smallsolve.py) — this solve sits on the wind_sweep hot path
+        K = solve_spd(S, (P @ C.T).T).T
         z = z_pred + K @ (y - self._obs_aug(z_pred))
         KC = K @ C
         Pc = (I - KC) @ P @ (I - KC).T + K @ self.Rv_mat @ K.T
@@ -214,7 +217,7 @@ class OffsetFreeNMPC(_AugmentedEKF):
             # Levenberg damping keeps the fixed-iteration loop safe at
             # singular intermediate Jacobians (branch-free, like the solvers)
             JtJ = J.T @ J + 1e-8 * jnp.eye(w.shape[0], dtype=w.dtype)
-            dw = jnp.linalg.solve(JtJ, J.T @ g(w))
+            dw = solve_spd(JtJ, J.T @ g(w))
             return w - dw, None
 
         w, _ = jax.lax.scan(newton, w0, None, length=self.newton_iters)
@@ -416,7 +419,9 @@ class DisturbanceCompensatedTracking(_AugmentedEKF):
             def gn(u, _):
                 J = jax.jacfwd(g)(u)
                 JtJ = J.T @ J + 1e-8 * jnp.eye(self.nu, dtype=u.dtype)
-                return u - jnp.linalg.solve(JtJ, J.T @ g(u)), None
+                # closed-form 2x2 (smallsolve): the per-stage GN step runs
+                # B x N lanes deep on the batched wind sweep
+                return u - solve_spd(JtJ, J.T @ g(u)), None
 
             u, _ = jax.lax.scan(
                 gn, jnp.zeros(self.nu, self.dtype), None, length=6

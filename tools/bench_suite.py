@@ -80,6 +80,15 @@ def seg_wind_sweep():
     return _steady(lambda k: wind_sweep(B, S, key=k), B * S)
 
 
+def seg_offset_free_sweep():
+    from model_predictive_control_tpu.parallel.batch import offset_free_sweep
+
+    B, S = 1024, 240
+    return _steady(
+        lambda k: offset_free_sweep(B, S, key=k, tile=1024), B * S
+    )
+
+
 def seg_mhe_loop():
     from model_predictive_control_tpu.parallel.batch import mhe_loop_sweep
 
@@ -231,6 +240,7 @@ SEGMENTS = {
     "racing_sweep": seg_racing_sweep,
     "racing_sweep_dynamic": seg_racing_sweep_dynamic,
     "wind_sweep": seg_wind_sweep,
+    "offset_free_sweep": seg_offset_free_sweep,
     "mhe_loop": seg_mhe_loop,
     "mhe_batch": seg_mhe_batch,
     "mhe_batch_nl": seg_mhe_batch_nl,
