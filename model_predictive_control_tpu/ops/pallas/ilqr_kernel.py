@@ -64,6 +64,7 @@ class BatchedALILQRSolution:
     viol: jnp.ndarray  # (B,)
     converged: jnp.ndarray  # (B,) bool
     lam: jnp.ndarray  # (B, N, nc) converged AL multipliers (warm-start handle)
+    inner_iters_executed: jnp.ndarray  # (B,) tile-granular delivered work
 
 
 def _alilqr_tile_kernel(
@@ -106,7 +107,9 @@ def _alilqr_tile_kernel(
     #    behind-the-obstacle parking starts) start each step near their
     #    fixed point instead of λ = 0 (round 4, the parking-tail fix)]
     #   us_out (N, 2, T), xs_out (N+1, 4, T), viol_out (1, T), conv_out (1, T),
-    #   lam_out (N, nc, T)
+    #   lam_out (N, nc, T), ni_out (1, T) — executed INNER iterations
+    #   (backward+line-search sweeps) summed over the outer AL rounds; the
+    #   delivered-work counter for the measured roofline (round 4)
     #   scratch: xs_s, us_s, xs_c, us_c (trajectory/candidate buffers),
     #   k_s (N, 2, T), K_s (N, 8, T), lam_s (N, NC, T)
     if track:
@@ -126,7 +129,7 @@ def _alilqr_tile_kernel(
     else:
         lam0_ref = None
     (
-        us_out, xs_out, viol_out, conv_out, lam_out,
+        us_out, xs_out, viol_out, conv_out, lam_out, ni_out,
         xs_s, us_s, xs_c, us_c, k_s, K_s, lam_s,
     ) = rest
     f32 = jnp.float32
@@ -704,20 +707,21 @@ def _alilqr_tile_kernel(
 
         reg0 = jnp.full((1, T), reg_init, f32)
         grad0 = jnp.full((1, T), jnp.inf, f32)
-        _, _, _, grad = jax.lax.while_loop(
+        n_it, _, _, grad = jax.lax.while_loop(
             cond, body, (jnp.int32(0), cost0, reg0, grad0)
         )
-        return grad
+        return grad, n_it
 
     # ---- outer AL loop ----------------------------------------------------------
     def al_cond(carry):
-        oi, _mu, viol, lam_step = carry
+        oi, _mu, viol, lam_step, _ni = carry
         solved = jnp.all((viol < viol_tol) & (lam_step < 1e-3))
         return jnp.logical_and(oi < outer_iters, jnp.logical_not(solved))
 
     def al_body(carry):
-        oi, mu, _viol, _lam_step = carry
-        _ = ilqr(mu)
+        oi, mu, _viol, _lam_step, ni = carry
+        _, n_it = ilqr(mu)
+        ni = ni + n_it
         # constraint sweep: violation, multiplier update, lam step
         def body(t_i, carry2):
             viol, step, lmax = carry2
@@ -742,7 +746,7 @@ def _alilqr_tile_kernel(
         mu_n = jnp.where(
             viol > viol_tol, jnp.minimum(mu * mu_scale, mu_max), mu
         )
-        return oi + 1, mu_n, viol, lam_step
+        return oi + 1, mu_n, viol, lam_step, ni
 
     # ---- init + run ---------------------------------------------------------------
     def init_body(t_i, _):
@@ -758,8 +762,8 @@ def _alilqr_tile_kernel(
 
     mu0 = jnp.full((1, T), mu_init, f32)
     inf = jnp.full((1, T), jnp.inf, f32)
-    _, _, viol, _ = jax.lax.while_loop(
-        al_cond, al_body, (jnp.int32(0), mu0, inf, inf)
+    _, _, viol, _, ni_total = jax.lax.while_loop(
+        al_cond, al_body, (jnp.int32(0), mu0, inf, inf, jnp.int32(0))
     )
 
     def out_body(t_i, _):
@@ -772,6 +776,7 @@ def _alilqr_tile_kernel(
     xs_out[N] = xs_s[N]
     viol_out[:] = viol
     conv_out[:] = (viol < viol_tol).astype(f32)
+    ni_out[:] = jnp.full((1, T), 1.0, f32) * ni_total.astype(f32)
 
 
 @functools.partial(
@@ -909,13 +914,13 @@ def al_ilqr_solve_pallas(
         in_specs.append(spec3(N, nc))
         inputs.append(lam_l)
 
-    us_l, xs_l, viol_l, conv_l, lam_out_l = pl.pallas_call(
+    us_l, xs_l, viol_l, conv_l, lam_out_l, ni_l = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             spec3(N, NU), spec3(N + 1, NX), spec2(1), spec2(1),
-            spec3(N, nc),
+            spec3(N, nc), spec2(1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, NU, Bp), f32),
@@ -923,6 +928,7 @@ def al_ilqr_solve_pallas(
             jax.ShapeDtypeStruct((1, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
             jax.ShapeDtypeStruct((N, nc, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N + 1, NX, tile), f32),  # xs_s
@@ -955,7 +961,7 @@ def al_ilqr_solve_pallas(
     lam = jnp.transpose(lam_out_l, (2, 0, 1))[:B]
     return BatchedALILQRSolution(
         us=us, xs=xs, viol=viol_l[0, :B], converged=conv_l[0, :B] > 0.5,
-        lam=lam,
+        lam=lam, inner_iters_executed=ni_l[0, :B],
     )
 
 

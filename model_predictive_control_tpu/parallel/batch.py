@@ -252,6 +252,7 @@ def batched_parking_policy(
                     lam_next,
                     sol.converged,
                     sol.viol,
+                    sol.inner_iters_executed,
                 )
 
             solve = solve_local
@@ -265,7 +266,7 @@ def batched_parking_policy(
                     solve_local,
                     mesh=mesh,
                     in_specs=(spec, spec, spec, spec, spec),
-                    out_specs=(spec, spec, spec, spec, spec),
+                    out_specs=(spec, spec, spec, spec, spec, spec),
                     check_vma=False,
                 )
 
@@ -278,13 +279,14 @@ def batched_parking_policy(
                 fricv = jnp.broadcast_to(
                     jnp.asarray(model_params.friction, dtype), (B,)
                 )
-                u0, warm, lam_next, conv, viol = solve(
+                u0, warm, lam_next, conv, viol, ni = solve(
                     x_batch, u_warm, lam_warm, accv, fricv
                 )
                 aux = {
                     "solver_success": conv,
                     "kkt_res": viol,
                     "viol": viol,
+                    "kernel_inner_iters": ni,
                 }
                 return u0, (warm, lam_next), aux
 
@@ -519,6 +521,12 @@ def parking_sweep(
         "controller_knows": bool(controller_knows),
         "rel_scale": float(rel_scale),
     }
+    if "kernel_inner_iters" in res.logs:
+        # delivered-work counter (round 4): executed inner iterations per
+        # solve (tile-granular), for the AL-iLQR delivered-MFU accounting
+        summary["mean_inner_iters"] = float(
+            jnp.mean(res.logs["kernel_inner_iters"])
+        )
     return res, summary
 
 
