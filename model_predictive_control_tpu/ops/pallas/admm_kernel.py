@@ -67,6 +67,10 @@ def _dot3(a, b_split):
     Drops the lo·lo term (≲2⁻⁴⁴ relative) — ~1e-6 relative error against the
     solver's 1e-4 tolerance, at HALF the MXU passes of ``Precision.HIGHEST``
     (Mosaic has no ``Precision.HIGH`` lowering, so the split is manual).
+    3 passes is also the measured MINIMUM: a 2-pass variant (drop a_lo·b_hi,
+    ~2⁻⁸ relative) collapses headline success to 0.635 AND is slower (9.08M
+    vs 10.2M — unconverged solves stop exiting early); single-pass bf16 was
+    0.44 (round 1).
     """
     b_hi, b_lo = b_split
     a_hi, a_lo = _split_bf16(a)

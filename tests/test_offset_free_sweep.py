@@ -101,6 +101,7 @@ def test_matches_scalar_offset_free_controller():
         u_lb=[base.min_drive, -base.max_steer],
         u_ub=[base.max_drive, base.max_steer],
         r=[0.0, 0.0], dtype=dt,
+        outer_iters=5, inner_iters=10,  # the sweep's round-4 default budget
     )
     res_s = mpc.simulate(
         x0s[i], plant, steps=STEPS, policy=ctrl.policy(),

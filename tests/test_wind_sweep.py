@@ -98,6 +98,7 @@ def test_batched_matches_scalar_policy():
             u_lb=jnp.asarray([base.min_drive, -base.max_steer], dt),
             u_ub=jnp.asarray([base.max_drive, base.max_steer], dt),
             ref_traj=ref, ts=ts, dtype=dt,
+            outer_iters=3, inner_iters=8,  # the sweep's round-4 default budget
         )
         res_s = mpc.simulate(
             x0s[i], plant, steps=STEPS, policy=comp.policy(),
