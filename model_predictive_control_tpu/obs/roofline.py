@@ -126,6 +126,52 @@ def admm_kernel_roofline(
     )
 
 
+def al_ilqr_dyn_kernel_roofline(
+    N: int = 15,
+    nx: int = 6,
+    nu: int = 2,
+    substeps: int = 4,
+    outer_iters: int = 3,
+    inner_iters: int = 8,
+    ls_alphas: int = 7,
+) -> KernelRoofline:
+    """Work model of ``ops/pallas/ilqr_dyn_kernel.py`` per scenario-solve
+    (round 4 — the 6-state Pacejka tracking kernel).
+
+    Counted from the kernel structure; the dominant terms per inner
+    iteration, per stage:
+    - the packed-jvp Jacobian: one (8, T) primal+tangent RK4 pass —
+      ``substeps × 4`` ODE evaluations at ~90 FLOPs each, ×3 for the
+      jvp tangent arithmetic, ×8 sublane pack (the pack rides native
+      sublanes, so issued ≈ useful here);
+    - generic 6×6 backward algebra: M = Vxx A (216) + Qxx (2×216 sym) +
+      VB/Quu/Qux (~170) + gains/value update (~500) ≈ 1.1k FMAs = 2.2k FLOPs;
+    - line search: ``ls_alphas``-pack rollouts — ``substeps × 4`` ODE evals
+      (~90 FLOPs) + cost rows (~50) per stage, sublane-packed.
+    HBM: read (x0, u0, refs), write (us, xs, viol, conv) — iteration-free.
+    """
+    ode = 90
+    jac_stage = 3 * 8 * substeps * 4 * ode
+    backward_stage = jac_stage + 2200
+    ls_stage = ls_alphas * (substeps * 4 * ode + 50)
+    inner_iter = N * (backward_stage + ls_stage)
+    outer_extra = N * (20 * (2 * nu))
+    useful = outer_iters * (inner_iters * inner_iter + outer_extra)
+    hbm = 4 * (nx + N * nu + (N + 1) * nx + N * nu + (N + 1) * nx + 2)
+    return KernelRoofline(
+        name="fused_al_ilqr_dyn",
+        flops_per_solve=float(useful),
+        flops_main_loop=float(outer_iters * inner_iters * inner_iter),
+        mxu_flops_issued=0.0,
+        hbm_bytes_per_solve=float(hbm),
+        bound="VPU",
+        notes=(
+            "lane-batched 6-state kernel with jvp-exact Jacobians; analytic "
+            "count +-40% (the jvp pass is traced, not hand-counted)"
+        ),
+    )
+
+
 def al_ilqr_kernel_roofline(
     N: int = 30,
     nx: int = 4,
