@@ -98,6 +98,13 @@ from .solvers.ilqr import (
     al_ilqr_solve,
     ilqr_solve,
 )
+from .ops.pallas.ilqr_factory import (
+    BatchedTrackerSolution,
+    fused_tracker_solve,
+    make_fused_tracker,
+    matan,
+    rowform_to_vector,
+)
 from .solvers.parking import make_parking_ocp, make_parking_ilqr, NonlinearMPC
 from .solvers.nmpc_tracking import TrackingNMPC
 from .solvers.linear_mpc import (

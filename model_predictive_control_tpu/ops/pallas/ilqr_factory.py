@@ -1,0 +1,808 @@
+"""Model-parametric fused AL-iLQR tracking kernels: bring your own ODE.
+
+Round 4 closing move on the fused-kernel family. The 6-state Pacejka kernel
+(``ilqr_dyn_kernel.py``) established that a fused VMEM-resident AL-iLQR
+tracker does not need hand-written Jacobians — one packed ``jax.jvp`` of the
+RK4-substepped step on an ``(nx + nu, T)`` basis pack yields the exact
+Jacobian of whatever dynamics are traced. That makes the kernel body
+model-agnostic: every piece of linear algebra in the backward/forward passes
+is written as static Python loops over ``range(nx)`` / ``range(nu)`` rows of
+``(1, T)`` lanes, so the SAME body compiles for any small state dimension.
+
+This module is that body, factored out as a factory:
+
+    step = make_fused_tracker(
+        ode_rows=my_ode,        # continuous dynamics in row form (see below)
+        nx=6, nu=2,
+        N=15, ts=0.05, substeps=4,
+        limits=((lb_a, lb_d), (ub_a, ub_d)),       # input box (required)
+        state_limits=((..), (..)),                 # optional state box
+        weights=(Qdiag, Rdiag, qN),                # diagonal tracking cost
+    )
+    sol = step(x0s, u_init, refs)   # (B, nx), (B, N, nu), (B, N+1, nx)
+
+``ode_rows(xr, ur) -> tuple of nx rows`` takes the state as a tuple of nx
+arrays and the input as a tuple of nu arrays (each ``(k, T)``-shaped lanes —
+the kernel calls it with rollout rows ``(1, T)``, line-search alpha packs
+``(A, T)``, and jvp basis packs ``(nx + nu, T)``) and must return the nx
+time-derivative rows. Two hard requirements, both consequences of running
+inside a Pallas TPU kernel:
+
+- **elementwise jnp ops only** (broadcasting arithmetic, ``sin``/``cos``/
+  ``tanh``/``exp``/``where``/...). No matmuls, no reshapes, no gather.
+- **Mosaic-lowerable primitives only**: notably there is no ``atan``/
+  ``atan2`` lowering — use :func:`matan` (a degree-7 minimax polynomial,
+  |err| < 2e-7, whose jvp is exactly self-consistent) as the drop-in.
+
+The OCP solved per scenario lane is the tracking AL-iLQR of
+``solvers/ilqr.py::al_ilqr_solve`` (the oracle in the tests): stage cost
+``Σ (x−ref_k)ᵀ diag(Q) (x−ref_k) + uᵀ diag(R) u`` + terminal
+``qN · (x−ref_N)ᵀ diag(Q) (x−ref_N)``, input-box (and optionally state-box)
+constraints as PHR augmented-Lagrangian rows, inner Levenberg-iLQR with a
+sublane-packed alpha grid, per-scenario adaptivity throughout. The prediction
+model is classic RK4 with ``substeps`` sub-intervals per MPC interval
+(``ops/integrators.py::rk4_fine`` semantics).
+
+Reference role: this is the TPU-native generalization of what CasADi gives
+the reference for free — *symbolic* problem construction for arbitrary
+models (``session_4/main.py:41-113`` builds the OCP from any ``symbolic``
+rcracers model). Here the "symbolic layer" is jax tracing into the kernel,
+and the payoff is the fused-kernel throughput class (30-80x over vmapped
+XLA, measured) for ANY user model instead of one hand-ported specialization.
+
+Supported today: ``nu in (1, 2)`` (closed-form regularized Quu solves; the
+pattern extends by unrolled Cholesky — ``utils/smallsolve.py`` — when a
+wider-input model shows up), any ``nx`` small enough for VMEM (the 6-state
+tier budgets ~((2N+2)·nx + 3N·nu + N·nu·nx + N·nc + a few) · tile · 4 bytes
+of scratch; nx ≤ ~12 is comfortable at tile 512).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.pytree import pytree_dataclass
+
+ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
+
+# Mosaic has no `atan` lowering (NotImplementedError: Unimplemented primitive
+# atan) — slip angles / magic-formula tires and any heading computation need
+# it, so the factory ships a degree-7-in-x² minimax polynomial on [0, 1] with
+# the standard |x| > 1 range reduction atan(x) = π/2 − atan(1/x). Max abs
+# error 1.3e-7 — f32 resolution; jvp differentiates the polynomial itself, so
+# kernel Jacobians are exactly consistent with the kernel's own dynamics.
+_ATAN_C = (
+    0.999999995814084, -0.3333282550224926, 0.19981819870035275,
+    -0.14085706888559993, 0.10088014678708343, -0.06183738202876349,
+    0.02583659568355391, -0.00511410178248912,
+)
+
+
+def matan(x):
+    """Mosaic-compatible ``atan`` for use inside ``ode_rows`` (see module doc)."""
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    # avoid inf/nan flowing through the unselected 1/ax branch's jvp at ax→0
+    a = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    s = a * a
+    p = _ATAN_C[7]
+    for c in _ATAN_C[6::-1]:
+        p = p * s + c
+    r = a * p
+    r = jnp.where(inv, (jnp.pi / 2.0) - r, r)
+    return jnp.where(x < 0.0, -r, r)
+
+
+def rowform_to_vector(ode_rows, nx: int, nu: int):
+    """Adapt a row-form ODE to the ``(x_vec, u_vec) -> xdot_vec`` convention
+    used by the XLA solver path (``solvers/ilqr.py``) and the integrators —
+    so one definition serves both the fused kernel and its oracle twin."""
+
+    def ode(x, u):
+        xr = tuple(x[i] for i in range(nx))
+        ur = tuple(u[j] for j in range(nu))
+        return jnp.stack(ode_rows(xr, ur))
+
+    return ode
+
+
+@pytree_dataclass
+class BatchedTrackerSolution:
+    us: jnp.ndarray  # (B, N, nu)
+    xs: jnp.ndarray  # (B, N + 1, nx)
+    viol: jnp.ndarray  # (B,)
+    converged: jnp.ndarray  # (B,) bool
+
+
+def _tracker_tile_kernel(
+    x0_ref,  # (nx, T)
+    u0_ref,  # (N, nu, T)
+    ref_ref,  # (N + 1, nx, T) tracking reference window
+    us_out,  # (N, nu, T)
+    xs_out,  # (N + 1, nx, T)
+    viol_out,  # (1, T)
+    conv_out,  # (1, T)
+    xs_s,  # scratch (N + 1, nx, T)
+    us_s,  # scratch (N, nu, T)
+    xs_c,  # scratch (N + 1, nx, T) line-search candidate
+    us_c,  # scratch (N, nu, T)
+    k_s,  # scratch (N, nu, T) feedforward gains
+    K_s,  # scratch (N, nu * nx, T) feedback gains, row a*nx+i
+    lam_s,  # scratch (N, nc, T) AL multipliers
+    *,
+    ode_rows,  # callable: see module docstring
+    nx: int,
+    nu: int,
+    N: int,
+    nc: int,
+    ts: float,
+    substeps: int,
+    limits: tuple,  # (lb_u(nu), ub_u(nu))
+    state_limits: tuple | None,  # None or (lb_x(nx), ub_x(nx))
+    weights: tuple,  # (Qd(nx), Rd(nu), qn)
+    outer_iters: int,
+    inner_iters: int,
+    mu_init: float,
+    mu_scale: float,
+    mu_max: float,
+    viol_tol: float,
+    tol: float,
+    reg_init: float,
+    reg_min: float,
+    reg_max: float,
+):
+    f32 = jnp.float32
+    T = x0_ref.shape[-1]
+    NZ = nx + nu  # jvp basis-pack width
+    LBU, UBU = limits
+    QD, RD, QN = weights
+
+    H = ts / substeps
+
+    def step_rows(xr, ur):
+        """One MPC interval: ``substeps`` classic RK4 steps (rk4_fine)."""
+        for _ in range(substeps):
+            k1 = ode_rows(xr, ur)
+            x2 = tuple(xr[i] + 0.5 * H * k1[i] for i in range(nx))
+            k2 = ode_rows(x2, ur)
+            x3 = tuple(xr[i] + 0.5 * H * k2[i] for i in range(nx))
+            k3 = ode_rows(x3, ur)
+            x4 = tuple(xr[i] + H * k3[i] for i in range(nx))
+            k4 = ode_rows(x4, ur)
+            xr = tuple(
+                xr[i]
+                + (H / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
+                for i in range(nx)
+            )
+        return xr
+
+    def dyn(x, u):
+        """x (nx, T), u (nu, T) -> x_next (nx, T)."""
+        xr = step_rows(
+            tuple(x[i : i + 1] for i in range(nx)),
+            tuple(u[j : j + 1] for j in range(nu)),
+        )
+        return jnp.concatenate(xr)
+
+    # jvp basis pack: sublane p of the (NZ, T) pack carries direction e_p
+    # (p < nx: state component p; p >= nx: input component p - nx). Built from
+    # iota — non-scalar captured constants are rejected by pallas.
+    _bi = jax.lax.broadcasted_iota(jnp.int32, (NZ, 1), 0)
+
+    def _basis(p):
+        return (_bi == p).astype(f32)  # (NZ, 1)
+
+    def dyn_jac(x, u):
+        """Full exact Jacobian of the RK4-substepped step via one packed jvp.
+
+        Returns (xn (nx, T), A[k][i] (1, T) entries, B[k][j] (1, T) entries)."""
+        prim = tuple(
+            jnp.broadcast_to(x[i : i + 1], (NZ, T)) for i in range(nx)
+        ) + tuple(jnp.broadcast_to(u[j : j + 1], (NZ, T)) for j in range(nu))
+        # Each tangent gets a lane-VARYING zero added (0·x is not constant-
+        # foldable — 0·NaN ≠ 0 — so it survives to the backend). Without it,
+        # a model whose row depends on inputs/states only through constant
+        # coefficients (e.g. the planar quadrotor's ω̇ = (u₁−u₂)·arm/I)
+        # yields jvp rows that are lane-CONSTANT basis combinations; Mosaic
+        # keeps those lane-replicated and then crashes relayouting them at
+        # multi-vreg lane widths (tile ≥ 256: "Check failed: limits[i] <=
+        # dim(i)"). Measured: no throughput change on the Pacejka tier.
+        zero_lanes = 0.0 * x[0:1]  # (1, T)
+        tang = tuple(
+            jnp.broadcast_to(_basis(p), (NZ, T)) + zero_lanes
+            for p in range(NZ)
+        )
+        out_p, out_t = jax.jvp(
+            lambda *z: step_rows(z[:nx], z[nx:]), prim, tang
+        )
+        xn = jnp.concatenate([out_p[k][0:1] for k in range(nx)])
+        A = [
+            [out_t[k][i : i + 1] for i in range(nx)] for k in range(nx)
+        ]  # A[k][i] = d x_next_k / d x_i
+        B = [
+            [out_t[k][nx + j : nx + j + 1] for j in range(nu)]
+            for k in range(nx)
+        ]
+        return xn, A, B
+
+    # ---- cost / constraints ---------------------------------------------------
+    # constraint rows: [u - ub_u (nu), lb_u - u (nu)]
+    #                (+ [x - ub_x (nx), lb_x - x (nx)] with a state box)
+    def constraint_row_list(xr, ur):
+        rows = []
+        for j in range(nu):
+            rows.append(ur[j] - UBU[j])
+        for j in range(nu):
+            rows.append(LBU[j] - ur[j])
+        if state_limits is not None:
+            LBX, UBX = state_limits
+            for i in range(nx):
+                rows.append(xr[i] - UBX[i])
+            for i in range(nx):
+                rows.append(LBX[i] - xr[i])
+        return rows
+
+    def constraint_rows(x, u):
+        return jnp.concatenate(
+            constraint_row_list(
+                tuple(x[i : i + 1] for i in range(nx)),
+                tuple(u[j : j + 1] for j in range(nu)),
+            )
+        )
+
+    def ref_rows(t_i):
+        rr = ref_ref[t_i]  # (nx, T)
+        return tuple(rr[i : i + 1] for i in range(nx))
+
+    def _quad_err(xr, rr):
+        return sum(QD[i] * (xr[i] - rr[i]) * (xr[i] - rr[i]) for i in range(nx))
+
+    def stage_cost_rows(xr, ur, lam, mu, rr):
+        rows = constraint_row_list(xr, ur)
+        quad = _quad_err(xr, rr) + sum(RD[j] * ur[j] * ur[j] for j in range(nu))
+        phi = jnp.zeros_like(quad)
+        for r, c in enumerate(rows):
+            lam_r = lam[r : r + 1]
+            act = jnp.maximum(0.0, lam_r + mu * c)
+            phi = phi + (act * act - lam_r * lam_r)
+        return quad + phi / (2.0 * mu)
+
+    def stage_cost_value(x, u, lam, mu, t_i):
+        return stage_cost_rows(
+            tuple(x[i : i + 1] for i in range(nx)),
+            tuple(u[j : j + 1] for j in range(nu)),
+            lam,
+            mu,
+            ref_rows(t_i),
+        )
+
+    def terminal_cost_rows(xr, rr):
+        return QN * _quad_err(xr, rr)
+
+    def terminal_cost_value(x):
+        return terminal_cost_rows(
+            tuple(x[i : i + 1] for i in range(nx)), ref_rows(N)
+        )
+
+    def stage_derivs(x, u, lam, mu, rr):
+        """lx (list of nx (1,T)), lu (nu), hxx diag (nx), huu diag (nu).
+
+        Tracking cost is diagonal and the box AL rows touch only the matching
+        diagonal, so all Hessian blocks are diagonal and lux is identically
+        zero."""
+        lx = [2.0 * QD[i] * (x[i : i + 1] - rr[i]) for i in range(nx)]
+        lu = [2.0 * RD[j] * u[j : j + 1] for j in range(nu)]
+        one = jnp.ones((1, T), f32)
+        hxx = [2.0 * QD[i] * one for i in range(nx)]
+        huu = [2.0 * RD[j] * one for j in range(nu)]
+        for j in range(nu):
+            cu = u[j : j + 1] - UBU[j]
+            cl = LBU[j] - u[j : j + 1]
+            act_u = jnp.maximum(0.0, lam[j : j + 1] + mu * cu)
+            act_l = jnp.maximum(0.0, lam[nu + j : nu + j + 1] + mu * cl)
+            lu[j] = lu[j] + act_u - act_l
+            ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
+            huu[j] = huu[j] + mu * ind
+        if state_limits is not None:
+            LBX, UBX = state_limits
+            off = 2 * nu
+            for i in range(nx):
+                cu = x[i : i + 1] - UBX[i]
+                cl = LBX[i] - x[i : i + 1]
+                act_u = jnp.maximum(0.0, lam[off + i : off + i + 1] + mu * cu)
+                act_l = jnp.maximum(
+                    0.0, lam[off + nx + i : off + nx + i + 1] + mu * cl
+                )
+                lx[i] = lx[i] + act_u - act_l
+                ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
+                hxx[i] = hxx[i] + mu * ind
+        return lx, lu, hxx, huu
+
+    # ---- trajectory-wide helpers ---------------------------------------------
+    def rollout_into(xs_buf, us_from):
+        xs_buf[0] = x0_ref[:]
+
+        def body(t_i, x):
+            xn = dyn(x, us_from[t_i])
+            xs_buf[t_i + 1] = xn
+            return xn
+
+        jax.lax.fori_loop(0, N, body, x0_ref[:])
+
+    def total_cost(xs_buf, us_buf, mu):
+        def body(t_i, cost):
+            return cost + stage_cost_value(
+                xs_buf[t_i], us_buf[t_i], lam_s[t_i], mu, t_i
+            )
+
+        cost = jax.lax.fori_loop(0, N, body, jnp.zeros((1, T), f32))
+        return cost + terminal_cost_value(xs_buf[N])
+
+    # ---- backward pass --------------------------------------------------------
+    def backward(mu, reg):
+        """Generic-nx Riccati sweep over stored (xs_s, us_s); writes gains;
+        returns (ok (1,T), grad (1,T)). Vxx rides as an (nx², T) block, row
+        nx*i+j."""
+        xN = xs_s[N]
+        rrN = ref_rows(N)
+        Vx = jnp.concatenate(
+            [2.0 * QN * QD[i] * (xN[i : i + 1] - rrN[i]) for i in range(nx)]
+        )
+        zero = jnp.zeros((1, T), f32)
+        Vxx = jnp.concatenate(
+            [
+                2.0 * QN * QD[i] * jnp.ones((1, T), f32) if i == j else zero
+                for i in range(nx)
+                for j in range(nx)
+            ]
+        )
+
+        def body(s, carry):
+            Vx, Vxx, ok, grad = carry
+            t_i = N - 1 - s
+            x = xs_s[t_i]
+            u = us_s[t_i]
+            _, A, B = dyn_jac(x, u)
+            lx, lu, hxx, huu = stage_derivs(x, u, lam_s[t_i], mu, ref_rows(t_i))
+
+            def V(i, j):
+                return Vxx[nx * i + j : nx * i + j + 1]
+
+            Vxr = [Vx[i : i + 1] for i in range(nx)]
+            # Qx = lx + A^T Vx ;  Qu = lu + B^T Vx
+            Qx = [
+                lx[i] + sum(A[k][i] * Vxr[k] for k in range(nx))
+                for i in range(nx)
+            ]
+            Qu = [
+                lu[j] + sum(B[k][j] * Vxr[k] for k in range(nx))
+                for j in range(nu)
+            ]
+            # M = Vxx A  (dense nx x nx)
+            M = [
+                [sum(V(i, k) * A[k][j] for k in range(nx)) for j in range(nx)]
+                for i in range(nx)
+            ]
+            # Qxx = lxx + A^T M (lxx diagonal), symmetrized
+            Qxx = [[None] * nx for _ in range(nx)]
+            for i in range(nx):
+                for j in range(i, nx):
+                    vij = sum(A[k][i] * M[k][j] for k in range(nx))
+                    vji = sum(A[k][j] * M[k][i] for k in range(nx))
+                    sym = 0.5 * (vij + vji)
+                    Qxx[i][j] = sym + (hxx[i] if i == j else 0.0)
+                    Qxx[j][i] = Qxx[i][j]
+            # VB[k][b] = (Vxx B)[k][b] ;  Quu = luu + B^T Vxx B (nu x nu)
+            VB = [
+                [sum(V(k, m) * B[m][b] for m in range(nx)) for b in range(nu)]
+                for k in range(nx)
+            ]
+            quu = [
+                [
+                    (huu[a] if a == b else 0.0)
+                    + sum(B[k][a] * VB[k][b] for k in range(nx))
+                    for b in range(nu)
+                ]
+                for a in range(nu)
+            ]
+            # Qux = B^T M  (nu x nx); lux = 0 (separable cost, diagonal rows)
+            Qux = [
+                [sum(B[k][a] * M[k][j] for k in range(nx)) for j in range(nx)]
+                for a in range(nu)
+            ]
+            # regularized closed-form Quu solve; f32 ok-mask (no i1 vectors)
+            if nu == 1:
+                q00r = quu[0][0] + reg
+                ok_t = (q00r > 0.0).astype(f32)
+                det_safe = jnp.where(q00r > 0.0, q00r, jnp.ones_like(q00r))
+                inv = [[1.0 / det_safe]]
+            elif nu == 2:
+                q00r = quu[0][0] + reg
+                q11r = quu[1][1] + reg
+                q01 = quu[0][1]
+                det = q00r * q11r - q01 * q01
+                ok_t = ((q00r > 0.0) & (det > 0.0)).astype(f32)
+                det_safe = jnp.where(det > 0.0, det, jnp.ones_like(det))
+                inv = [
+                    [q11r / det_safe, -q01 / det_safe],
+                    [-q01 / det_safe, q00r / det_safe],
+                ]
+            else:  # pragma: no cover - guarded in make_fused_tracker
+                raise NotImplementedError("nu > 2 needs an unrolled Cholesky")
+            kg = [
+                -sum(inv[a][b] * Qu[b] for b in range(nu)) for a in range(nu)
+            ]
+            Kg = [
+                [
+                    -sum(inv[a][b] * Qux[b][j] for b in range(nu))
+                    for j in range(nx)
+                ]
+                for a in range(nu)
+            ]
+            # Vx' = Qx + K^T (Quu k + Qu) + Qux^T k  (UNregularized Quu)
+            g = [
+                sum(quu[a][b] * kg[b] for b in range(nu)) + Qu[a]
+                for a in range(nu)
+            ]
+            Vx_n = jnp.concatenate(
+                [
+                    Qx[j]
+                    + sum(Kg[a][j] * g[a] for a in range(nu))
+                    + sum(Qux[a][j] * kg[a] for a in range(nu))
+                    for j in range(nx)
+                ]
+            )
+            # Vxx' = Qxx + K^T Quu K + K^T Qux + Qux^T K (symmetric by constr.)
+            KQ = [
+                [
+                    sum(quu[a][b] * Kg[b][j] for b in range(nu))
+                    for j in range(nx)
+                ]
+                for a in range(nu)
+            ]
+            rows = []
+            for i in range(nx):
+                for j in range(nx):
+                    rows.append(
+                        Qxx[i][j]
+                        + sum(Kg[a][i] * KQ[a][j] for a in range(nu))
+                        + sum(Kg[a][i] * Qux[a][j] for a in range(nu))
+                        + sum(Qux[a][i] * Kg[a][j] for a in range(nu))
+                    )
+            Vxx_n = jnp.concatenate(rows)
+            k_s[t_i] = jnp.concatenate(kg)
+            K_s[t_i] = jnp.concatenate([Kg[a][j] for a in range(nu) for j in range(nx)])
+            grad_t = jnp.abs(Qu[0])
+            for a in range(1, nu):
+                grad_t = jnp.maximum(grad_t, jnp.abs(Qu[a]))
+            grad_n = jnp.maximum(grad, grad_t)
+            return Vx_n, Vxx_n, ok * ok_t, grad_n
+
+        ok0 = jnp.ones((1, T), f32)
+        grad0 = jnp.zeros((1, T), f32)
+        _, _, ok, grad = jax.lax.fori_loop(0, N, body, (Vx, Vxx, ok0, grad0))
+        return ok, grad
+
+    # ---- forward pass / line search -------------------------------------------
+    A_LS = len(ALPHAS)
+    _li = jax.lax.broadcasted_iota(jnp.int32, (A_LS, 1), 0)
+    alpha_col = sum(
+        jnp.where(_li == k, jnp.float32(a), jnp.float32(0.0))
+        for k, a in enumerate(ALPHAS)
+    )
+
+    def forward_cost_all(mu):
+        """Closed-loop rollouts for the WHOLE alpha grid at once — alphas
+        packed into the sublane dim as (A, T) component blocks."""
+
+        def body(t_i, carry):
+            xr = carry[:nx]
+            cost = carry[nx]
+            xh = xs_s[t_i]
+            uh = us_s[t_i]
+            kg = k_s[t_i]
+            Kg = K_s[t_i]
+            dx = tuple(xr[i] - xh[i : i + 1] for i in range(nx))
+            ur = tuple(
+                uh[a : a + 1]
+                + alpha_col * kg[a : a + 1]
+                + sum(
+                    Kg[a * nx + j : a * nx + j + 1] * dx[j] for j in range(nx)
+                )
+                for a in range(nu)
+            )
+            cost = cost + stage_cost_rows(xr, ur, lam_s[t_i], mu, ref_rows(t_i))
+            xr = step_rows(xr, ur)
+            return xr + (cost,)
+
+        x0 = x0_ref[:]
+        init = tuple(
+            jnp.broadcast_to(x0[i : i + 1], (A_LS, T)) for i in range(nx)
+        ) + (jnp.zeros((A_LS, T), f32),)
+        out = jax.lax.fori_loop(0, N, body, init)
+        return out[nx] + terminal_cost_rows(out[:nx], ref_rows(N))
+
+    def forward_store(alpha):
+        """Rollout at per-scenario alpha (1, T); stores into xs_c/us_c."""
+        xs_c[0] = x0_ref[:]
+
+        def body(t_i, x):
+            xh = xs_s[t_i]
+            uh = us_s[t_i]
+            kg = k_s[t_i]
+            Kg = K_s[t_i]
+            dx = x - xh
+            u = jnp.concatenate(
+                [
+                    uh[a : a + 1]
+                    + alpha * kg[a : a + 1]
+                    + sum(
+                        Kg[a * nx + j : a * nx + j + 1] * dx[j : j + 1]
+                        for j in range(nx)
+                    )
+                    for a in range(nu)
+                ]
+            )
+            us_c[t_i] = u
+            xn = dyn(x, u)
+            xs_c[t_i + 1] = xn
+            return xn
+
+        jax.lax.fori_loop(0, N, body, x0_ref[:])
+
+    def blend_candidate(mask):
+        def body(t_i, _):
+            us_s[t_i] = jnp.where(mask > 0.0, us_c[t_i], us_s[t_i])
+            xs_s[t_i] = jnp.where(mask > 0.0, xs_c[t_i], xs_s[t_i])
+            return 0
+
+        jax.lax.fori_loop(0, N, body, 0)
+        xs_s[N] = jnp.where(mask > 0.0, xs_c[N], xs_s[N])
+
+    # ---- inner iLQR loop -------------------------------------------------------
+    def ilqr(mu):
+        cost0 = total_cost(xs_s, us_s, mu)
+
+        def cond(carry):
+            i, _cost, _reg, grad = carry
+            all_done = jnp.all(grad < 0.01 * tol)
+            return jnp.logical_and(i < inner_iters, jnp.logical_not(all_done))
+
+        def body(carry):
+            i, cost, reg, _grad = carry
+            ok, grad = backward(mu, reg)
+            costs_all = forward_cost_all(mu)
+            costs_all = jnp.where(jnp.isfinite(costs_all), costs_all, jnp.inf)
+            best_cost = jnp.min(costs_all, axis=0, keepdims=True)
+            best_alpha = jnp.max(
+                jnp.where(costs_all <= best_cost, alpha_col, 0.0),
+                axis=0,
+                keepdims=True,
+            )
+            improved = (best_cost < cost - 1e-12) & (ok > 0.5)
+            alpha_eff = jnp.where(
+                improved, best_alpha, jnp.zeros_like(best_alpha)
+            )
+            forward_store(alpha_eff)
+            blend_candidate(improved.astype(f32))
+            cost_n = jnp.where(improved, best_cost, cost)
+            reg_n = jnp.where(
+                improved,
+                jnp.maximum(reg * 0.5, reg_min),
+                jnp.minimum(reg * 10.0, reg_max),
+            )
+            return i + 1, cost_n, reg_n, grad
+
+        reg0 = jnp.full((1, T), reg_init, f32)
+        grad0 = jnp.full((1, T), jnp.inf, f32)
+        _, _, _, grad = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cost0, reg0, grad0)
+        )
+        return grad
+
+    # ---- outer AL loop ----------------------------------------------------------
+    def al_cond(carry):
+        oi, _mu, viol, lam_step = carry
+        solved = jnp.all((viol < viol_tol) & (lam_step < 1e-3))
+        return jnp.logical_and(oi < outer_iters, jnp.logical_not(solved))
+
+    def al_body(carry):
+        oi, mu, _viol, _lam_step = carry
+        _ = ilqr(mu)
+
+        def body(t_i, carry2):
+            viol, step, lmax = carry2
+            c_rows = constraint_rows(xs_s[t_i], us_s[t_i])
+            lam = lam_s[t_i]
+            lam_n = jnp.maximum(0.0, lam + mu * c_rows)
+            lam_s[t_i] = lam_n
+            viol = jnp.maximum(
+                viol, jnp.max(jnp.maximum(c_rows, 0.0), axis=0, keepdims=True)
+            )
+            step = jnp.maximum(
+                step, jnp.max(jnp.abs(lam_n - lam), axis=0, keepdims=True)
+            )
+            lmax = jnp.maximum(
+                lmax, jnp.max(jnp.abs(lam_n), axis=0, keepdims=True)
+            )
+            return viol, step, lmax
+
+        z = jnp.zeros((1, T), f32)
+        viol, step, lmax = jax.lax.fori_loop(0, N, body, (z, z, z))
+        lam_step = step / (1.0 + lmax)
+        mu_n = jnp.where(viol > viol_tol, jnp.minimum(mu * mu_scale, mu_max), mu)
+        return oi + 1, mu_n, viol, lam_step
+
+    # ---- init + run ---------------------------------------------------------------
+    def init_body(t_i, _):
+        us_s[t_i] = u0_ref[t_i]
+        lam_s[t_i] = jnp.zeros((nc, T), f32)
+        return 0
+
+    jax.lax.fori_loop(0, N, init_body, 0)
+    rollout_into(xs_s, us_s)
+
+    mu0 = jnp.full((1, T), mu_init, f32)
+    inf = jnp.full((1, T), jnp.inf, f32)
+    _, _, viol, _ = jax.lax.while_loop(
+        al_cond, al_body, (jnp.int32(0), mu0, inf, inf)
+    )
+
+    def out_body(t_i, _):
+        us_out[t_i] = us_s[t_i]
+        xs_out[t_i] = xs_s[t_i]
+        return 0
+
+    jax.lax.fori_loop(0, N, out_body, 0)
+    xs_out[N] = xs_s[N]
+    viol_out[:] = viol
+    conv_out[:] = (viol < viol_tol).astype(f32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ode_rows", "nx", "nu", "N", "ts", "substeps", "limits",
+        "state_limits", "weights", "outer_iters", "inner_iters", "tile",
+        "mu_init", "mu_scale", "mu_max", "viol_tol", "tol", "interpret",
+    ),
+)
+def fused_tracker_solve(
+    x0s: jnp.ndarray,  # (B, nx)
+    u_init: jnp.ndarray,  # (B, N, nu)
+    refs: jnp.ndarray,  # (B, N + 1, nx) tracking reference windows
+    *,
+    ode_rows,
+    nx: int,
+    nu: int,
+    N: int,
+    ts: float,
+    substeps: int,
+    limits: tuple,  # (lb_u(nu), ub_u(nu))
+    weights: tuple,  # (Qd(nx), Rd(nu), qn)
+    state_limits: tuple | None = None,  # (lb_x(nx), ub_x(nx))
+    outer_iters: int = 6,
+    inner_iters: int = 15,
+    mu_init: float = 10.0,
+    mu_scale: float = 10.0,
+    mu_max: float = 1e8,
+    viol_tol: float = 1e-4,
+    tol: float = 1e-6,
+    tile: int = 512,
+    interpret: bool | None = None,
+) -> BatchedTrackerSolution:
+    """Batched tracking AL-iLQR for a user-supplied row-form ODE via the fused
+    Pallas kernel; mirrors ``vmap(al_ilqr_solve)`` on the same OCP with
+    per-scenario adaptivity. Prefer :func:`make_fused_tracker` for a bound
+    step function (stable jit-cache key included).
+
+    ``ode_rows`` is a static argument — pass the SAME function object on
+    every call (module-level def or a cached closure) or each new identity
+    recompiles the kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if nu not in (1, 2):
+        raise NotImplementedError(
+            "fused_tracker_solve supports nu in (1, 2); extend the backward "
+            "pass with an unrolled Cholesky (utils/smallsolve.py) for wider "
+            "input spaces"
+        )
+    f32 = jnp.float32
+    B = x0s.shape[0]
+    nc = 2 * nu + (2 * nx if state_limits is not None else 0)
+
+    Bp = ((B + tile - 1) // tile) * tile
+    pad = Bp - B
+    x0_l = jnp.transpose(x0s.astype(f32))  # (nx, B)
+    u0_l = jnp.transpose(u_init.astype(f32), (1, 2, 0))  # (N, nu, B)
+    ref_l = jnp.transpose(refs.astype(f32), (1, 2, 0))  # (N+1, nx, B)
+    if pad:
+        x0_l = jnp.pad(x0_l, ((0, 0), (0, pad)))
+        u0_l = jnp.pad(u0_l, ((0, 0), (0, 0), (0, pad)))
+        ref_l = jnp.pad(ref_l, ((0, 0), (0, 0), (0, pad)))
+
+    kernel = functools.partial(
+        _tracker_tile_kernel,
+        ode_rows=ode_rows,
+        nx=nx,
+        nu=nu,
+        N=N,
+        nc=nc,
+        ts=float(ts),
+        substeps=substeps,
+        limits=limits,
+        state_limits=state_limits,
+        weights=weights,
+        outer_iters=outer_iters,
+        inner_iters=inner_iters,
+        mu_init=float(mu_init),
+        mu_scale=float(mu_scale),
+        mu_max=float(mu_max),
+        viol_tol=float(viol_tol),
+        tol=float(tol),
+        reg_init=1.0,
+        reg_min=1e-8,
+        reg_max=1e8,
+    )
+
+    grid = (Bp // tile,)
+    spec2 = lambda r: pl.BlockSpec(
+        (r, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    spec3 = lambda a, r: pl.BlockSpec(
+        (a, r, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+
+    us_l, xs_l, viol_l, conv_l = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec2(nx), spec3(N, nu), spec3(N + 1, nx)],
+        out_specs=[spec3(N, nu), spec3(N + 1, nx), spec2(1), spec2(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nu, Bp), f32),
+            jax.ShapeDtypeStruct((N + 1, nx, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N + 1, nx, tile), f32),  # xs_s
+            pltpu.VMEM((N, nu, tile), f32),  # us_s
+            pltpu.VMEM((N + 1, nx, tile), f32),  # xs_c
+            pltpu.VMEM((N, nu, tile), f32),  # us_c
+            pltpu.VMEM((N, nu, tile), f32),  # k_s
+            pltpu.VMEM((N, nu * nx, tile), f32),  # K_s
+            pltpu.VMEM((N, nc, tile), f32),  # lam_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x0_l, u0_l, ref_l)
+
+    us = jnp.transpose(us_l, (2, 0, 1))[:B]
+    xs = jnp.transpose(xs_l, (2, 0, 1))[:B]
+    return BatchedTrackerSolution(
+        us=us, xs=xs, viol=viol_l[0, :B], converged=conv_l[0, :B] > 0.5
+    )
+
+
+def make_fused_tracker(ode_rows, nx: int, nu: int, **config):
+    """Bind a row-form ODE + static config into a batched fused solve:
+
+        step = make_fused_tracker(my_ode, nx=6, nu=2, N=15, ts=0.05,
+                                  substeps=4, limits=..., weights=...)
+        sol = step(x0s, u_init, refs)    # BatchedTrackerSolution
+
+    All keyword ``config`` is forwarded to :func:`fused_tracker_solve`
+    statically, so every call through the returned function hits the same
+    jit cache entry.
+    """
+    return functools.partial(
+        fused_tracker_solve, ode_rows=ode_rows, nx=nx, nu=nu, **config
+    )
