@@ -179,7 +179,9 @@ def al_ilqr_kernel_roofline(
     n_pairs: int = 9,
     outer_iters: int = 6,
     inner_iters: int = 15,
-    ls_alphas: int = 8,
+    # 7 grid alphas; the historical 8th (1, T) accept re-rollout was replaced
+    # by the round-4b sublane select out of the candidate packs
+    ls_alphas: int = 7,
 ) -> KernelRoofline:
     """Work model of ``ops/pallas/ilqr_kernel.py`` per scenario-solve.
 

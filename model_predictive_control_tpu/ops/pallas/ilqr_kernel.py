@@ -110,7 +110,9 @@ def _alilqr_tile_kernel(
     #   lam_out (N, nc, T), ni_out (1, T) — executed INNER iterations
     #   (backward+line-search sweeps) summed over the outer AL rounds; the
     #   delivered-work counter for the measured roofline (round 4)
-    #   scratch: xs_s, us_s, xs_c, us_c (trajectory/candidate buffers),
+    #   scratch: xs_s, us_s (trajectory), xs_p, us_p ((.., A, T)
+    #   line-search candidate packs - every alpha's trajectory, so the
+    #   accept is a sublane select, not a third rollout; round 4b),
     #   k_s (N, 2, T), K_s (N, 8, T), lam_s (N, NC, T)
     if track:
         ref_ref, *rest = rest
@@ -130,7 +132,7 @@ def _alilqr_tile_kernel(
         lam0_ref = None
     (
         us_out, xs_out, viol_out, conv_out, lam_out, ni_out,
-        xs_s, us_s, xs_c, us_c, k_s, K_s, lam_s,
+        xs_s, us_s, xs_p, us_p, k_s, K_s, lam_s,
     ) = rest
     f32 = jnp.float32
     T = x0_ref.shape[-1]
@@ -598,10 +600,17 @@ def _alilqr_tile_kernel(
         alpha grid at once — alphas packed into the sublane dim as (A, T)
         component blocks, so the grid costs one N-stage loop instead of A
         (and (A, T) VPU ops use A/8 sublanes instead of 1/8). Returns the
-        penalized total costs (A, T) without storing trajectories."""
+        penalized total costs (A, T), storing every candidate trajectory
+        into the (…, A, T) packs so the accept (:func:`select_blend`) is a
+        sublane select instead of a third rollout (round 4b: a (1, T)
+        re-rollout costs the same vregs as this whole pack)."""
 
         def body(t_i, carry):
             px, py, psi, v, cost = carry
+            xs_p[t_i, 0] = px
+            xs_p[t_i, 1] = py
+            xs_p[t_i, 2] = psi
+            xs_p[t_i, 3] = v
             xh = xs_s[t_i]
             uh = us_s[t_i]
             kg = k_s[t_i]
@@ -615,6 +624,8 @@ def _alilqr_tile_kernel(
             )
             a_u = uh[0:1] + du0
             dl_u = uh[1:2] + du1
+            us_p[t_i, 0] = a_u
+            us_p[t_i, 1] = dl_u
             cost = cost + stage_cost_rows(
                 (px, py, psi, v), (a_u, dl_u), lam_s[t_i], mu,
                 rr=ref_rows(t_i), urr=uref_rows(t_i),
@@ -627,44 +638,40 @@ def _alilqr_tile_kernel(
             jnp.broadcast_to(x0[i : i + 1], (A_LS, T)) for i in range(NX)
         ) + (jnp.zeros((A_LS, T), f32),)
         px, py, psi, v, cost = jax.lax.fori_loop(0, N, body, init)
+        xs_p[N, 0] = px
+        xs_p[N, 1] = py
+        xs_p[N, 2] = psi
+        xs_p[N, 3] = v
         return cost + terminal_cost_rows((px, py, psi, v), rr=ref_rows(N))
 
-    def forward_store(alpha):
-        """Same rollout with per-scenario alpha (1, T); stores into xs_c/us_c.
-        The accepted cost is already known from the alpha search — no stage
-        costs are evaluated here."""
-        xs_c[0] = x0_ref[:]
+    def select_blend(best_alpha, mask):
+        """Accept per-lane: pull each lane's best-alpha candidate out of the
+        packs (sublane-mask reduction — ALPHAS are distinct, so exactly one
+        row matches) and blend into (xs_s, us_s) where ``mask`` accepts."""
+        sel = (alpha_col == best_alpha).astype(f32)  # (A, T)
 
-        def body(t_i, x):
-            xh = xs_s[t_i]
-            uh = us_s[t_i]
-            kg = k_s[t_i]
-            Kg = K_s[t_i]
-            dx = x - xh
-            du0 = alpha * kg[0:1] + sum(
-                Kg[j : j + 1] * dx[j : j + 1] for j in range(NX)
-            )
-            du1 = alpha * kg[1:2] + sum(
-                Kg[NX + j : NX + j + 1] * dx[j : j + 1] for j in range(NX)
-            )
-            u = jnp.concatenate([uh[0:1] + du0, uh[1:2] + du1])
-            us_c[t_i] = u
-            xn, _ = dyn(x, u, acc, fric, want_jac=False)
-            xs_c[t_i + 1] = xn
-            return xn
-
-        jax.lax.fori_loop(0, N, body, x0_ref[:])
-
-    def blend_candidate(mask):
-        """xs_s/us_s <- where(mask, candidate, current), per scenario."""
+        def pick(pack_row):  # (A, T) -> (1, T)
+            return jnp.sum(sel * pack_row, axis=0, keepdims=True)
 
         def body(t_i, _):
-            us_s[t_i] = jnp.where(mask > 0.0, us_c[t_i], us_s[t_i])
-            xs_s[t_i] = jnp.where(mask > 0.0, xs_c[t_i], xs_s[t_i])
+            us_s[t_i] = jnp.where(
+                mask > 0.0,
+                jnp.concatenate([pick(us_p[t_i, a]) for a in range(NU)]),
+                us_s[t_i],
+            )
+            xs_s[t_i] = jnp.where(
+                mask > 0.0,
+                jnp.concatenate([pick(xs_p[t_i, i]) for i in range(NX)]),
+                xs_s[t_i],
+            )
             return 0
 
         jax.lax.fori_loop(0, N, body, 0)
-        xs_s[N] = jnp.where(mask > 0.0, xs_c[N], xs_s[N])
+        xs_s[N] = jnp.where(
+            mask > 0.0,
+            jnp.concatenate([pick(xs_p[N, i]) for i in range(NX)]),
+            xs_s[N],
+        )
 
     # ---- inner iLQR loop -------------------------------------------------------
     def ilqr(mu):
@@ -691,12 +698,7 @@ def _alilqr_tile_kernel(
                 keepdims=True,
             )
             improved = (best_cost < cost - 1e-12) & (ok > 0.5)
-            # one storing rollout at the per-scenario best alpha (alpha = 0 for
-            # non-improved lanes reproduces the current trajectory, so the blend
-            # below is a no-op for them)
-            alpha_eff = jnp.where(improved, best_alpha, jnp.zeros_like(best_alpha))
-            forward_store(alpha_eff)
-            blend_candidate(improved.astype(f32))
+            select_blend(best_alpha, improved.astype(f32))
             cost_n = jnp.where(improved, best_cost, cost)
             reg_n = jnp.where(
                 improved,
@@ -933,8 +935,8 @@ def al_ilqr_solve_pallas(
         scratch_shapes=[
             pltpu.VMEM((N + 1, NX, tile), f32),  # xs_s
             pltpu.VMEM((N, NU, tile), f32),  # us_s
-            pltpu.VMEM((N + 1, NX, tile), f32),  # xs_c
-            pltpu.VMEM((N, NU, tile), f32),  # us_c
+            pltpu.VMEM((N + 1, NX, len(ALPHAS), tile), f32),  # xs_p
+            pltpu.VMEM((N, NU, len(ALPHAS), tile), f32),  # us_p
             pltpu.VMEM((N, NU, tile), f32),  # k_s
             pltpu.VMEM((N, NU * NX, tile), f32),  # K_s
             pltpu.VMEM((N, nc, tile), f32),  # lam_s
