@@ -114,6 +114,16 @@ def main(argv=None) -> int:
     )
     _add_common(pr2)
 
+    pqs = sub.add_parser(
+        "quadsweep",
+        help="closed-loop planar-quadrotor loiter tracking on the "
+        "model-parametric fused tracker factory (round 4b) under "
+        "per-scenario mass/inertia/arm mismatch",
+    )
+    pqs.add_argument("--batch", type=int, default=2048)
+    pqs.add_argument("--steps", type=int, default=50)
+    pqs.add_argument("--rel-scale", type=float, default=0.1)
+
     pws = sub.add_parser(
         "windsweep",
         help="batched offset-free racing under per-scenario crosswinds "
@@ -357,6 +367,29 @@ def main(argv=None) -> int:
         # second run with a fresh key measures the compiled device loop
         with Timer() as t2:
             res2, _ = sweep_fn(key=jax.random.PRNGKey(1), **kw)
+            t2.fence(res2.states)
+        summary["solves_per_s"] = round(
+            args.batch * args.steps / t2.elapsed, 1
+        )
+        summary["wall_steady_s"] = round(t2.elapsed, 3)
+    elif args.cmd == "quadsweep":
+        from .obs.metrics import Timer
+        from .parallel import make_mesh
+        from .parallel.batch import quadrotor_sweep
+
+        import jax
+
+        mesh = make_mesh(len(jax.devices()))
+        kw = dict(
+            batch=args.batch, steps=args.steps, rel_scale=args.rel_scale,
+            mesh=mesh,
+        )
+        with Timer() as t:
+            res, summary = quadrotor_sweep(**kw)
+            t.fence(res.states)
+        summary["wall_s"] = round(t.elapsed, 3)
+        with Timer() as t2:
+            res2, _ = quadrotor_sweep(key=jax.random.PRNGKey(1), **kw)
             t2.fence(res2.states)
         summary["solves_per_s"] = round(
             args.batch * args.steps / t2.elapsed, 1

@@ -1293,6 +1293,178 @@ def racing_sweep_dynamic(
     return res, summary
 
 
+def quadrotor_sweep(
+    batch: int,
+    steps: int,
+    key=None,
+    N: int = 10,
+    ts: float = 0.1,
+    radius: float = 1.0,
+    period: float = 12.0,
+    rel_scale: float = 0.1,
+    outer_iters: int = 4,
+    inner_iters: int = 10,
+    plant_substeps: int = 8,
+    pred_substeps: int = 2,
+    tile: int = 512,
+    mesh=None,
+    dtype=jnp.float32,
+) -> tuple[BatchSimResult, dict]:
+    """Closed-loop planar-quadrotor loiter tracking on the model-parametric
+    fused tracker (round 4b) — the factory tier's measured workload.
+
+    This is the proof that :func:`...ops.pallas.ilqr_factory.
+    make_fused_tracker` is a production path, not a demo: a model the
+    reference never had (``models/benchmarks.py::make_planar_quadrotor_
+    ode_rows``) gets the same treatment as the vehicle tiers — batched
+    closed loop, per-scenario plant mismatch (mass/inertia/arm ×
+    ``U[1 ± rel_scale]``, controller keeps the nominal model — exercise 5's
+    semantics, ``session4_sol.py:443-488``), asymmetric thrust bounds, tilt
+    state box, and a contract-gated throughput/quality record.
+
+    The reference trajectory is a loiter circle of ``radius`` flown in
+    ``period`` seconds (≈0.52 m/s, ≈0.27 m/s² at the defaults — well inside
+    the 1.5·m·g thrust authority), entered from a perturbed hover at its
+    starting point.
+    """
+    from ..models.benchmarks import (
+        QUADROTOR_PARAMS,
+        make_planar_quadrotor_ode_rows,
+    )
+    from ..ops.pallas.ilqr_factory import make_fused_tracker
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_par, k_x0 = jax.random.split(key)
+    nx, nu = 6, 2
+    m0, i0, arm0, grav = QUADROTOR_PARAMS
+    u_max = 1.5 * m0 * grav
+
+    # loiter-circle reference table (steps + N + 1, 6)
+    t_tab = jnp.arange(steps + N + 1, dtype=dtype) * ts
+    om_ref = 2.0 * jnp.pi / period
+    px_r = radius * jnp.sin(om_ref * t_tab)
+    pz_r = radius * (1.0 - jnp.cos(om_ref * t_tab))
+    vx_r = radius * om_ref * jnp.cos(om_ref * t_tab)
+    vz_r = radius * om_ref * jnp.sin(om_ref * t_tab)
+    zero = jnp.zeros_like(t_tab)
+    ref = jnp.stack([px_r, pz_r, zero, vx_r, vz_r, zero], axis=-1)
+
+    factors = 1.0 + rel_scale * jax.random.uniform(
+        k_par, (batch, 3), minval=-1.0, maxval=1.0, dtype=dtype
+    )
+    plant_params = (m0 * factors[:, 0], i0 * factors[:, 1], arm0 * factors[:, 2])
+    noise = jax.random.uniform(
+        k_x0, (batch, nx), minval=-1.0, maxval=1.0, dtype=dtype
+    ) * jnp.asarray([0.15, 0.15, 0.1, 0.1, 0.1, 0.1], dtype)
+    x0s = ref[0] + noise
+
+    big = 50.0
+    solve_step = make_fused_tracker(
+        make_planar_quadrotor_ode_rows(QUADROTOR_PARAMS), nx, nu,
+        N=N, ts=float(ts), substeps=pred_substeps,
+        limits=((0.0, 0.0), (float(u_max), float(u_max))),
+        state_limits=(
+            (-big, -big, -0.5, -big, -big, -big),
+            (big, big, 0.5, big, big, big),
+        ),
+        weights=((5.0, 5.0, 1.0, 0.5, 0.5, 0.1), (0.02, 0.02), 10.0),
+        outer_iters=outer_iters, inner_iters=inner_iters,
+        viol_tol=1e-4, tile=min(tile, ((batch + 127) // 128) * 128),
+    )
+
+    def solve_local(x_batch, warm, refs_b):
+        B = x_batch.shape[0]
+        sol = solve_step(x_batch, warm.reshape(B, N, nu), refs_b)
+        u_next = jnp.concatenate([sol.us[:, 1:], sol.us[:, -1:]], axis=1)
+        return sol.us[:, 0], u_next.reshape(B, N * nu), sol.converged, sol.viol
+
+    solve = solve_local
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from .mesh import DATA_AXIS
+
+        spec = P(DATA_AXIS)
+        solve = jax.shard_map(
+            solve_local, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, spec, spec), check_vma=False,
+        )
+
+    def policy(x_batch, t, carry):
+        B = x_batch.shape[0]
+        window = jax.lax.dynamic_slice_in_dim(ref, t, N + 1, axis=0)
+        refs_b = jnp.broadcast_to(window[None], (B, N + 1, nx))
+        u0, warm, conv, viol = solve(x_batch, carry, refs_b)
+        aux = {
+            "solver_success": conv,
+            "viol": viol,
+            "tracking_error": jnp.linalg.norm(
+                x_batch[:, :2] - window[0][:2], axis=-1
+            ),
+        }
+        return u0, warm, aux
+
+    # per-scenario plant: same ODE family, perturbed (mass, inertia, arm)
+    def quad_ode(m, inr, arm, x, u):
+        th, vx, vz, omg = x[2], x[3], x[4], x[5]
+        s, c = jnp.sin(th), jnp.cos(th)
+        thrust = u[0] + u[1]
+        return jnp.stack([
+            vx, vz, omg,
+            -thrust * s / m,
+            thrust * c / m - grav,
+            (u[0] - u[1]) * arm / inr,
+        ])
+
+    def plant_step(m, inr, arm, x, u):
+        f = lambda xx, uu: quad_ode(m, inr, arm, xx, uu)
+        return rk4_fine(f, ts, substeps=plant_substeps)(x, u)
+
+    plant_b = jax.vmap(plant_step, in_axes=(0, 0, 0, 0, 0))
+
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        x0s = jax.device_put(x0s, sh)
+        plant_params = jax.tree.map(lambda l: jax.device_put(l, sh), plant_params)
+
+    cfg = ("quadrotor", N, float(ts), steps, float(radius), float(period),
+           outer_iters, inner_iters, plant_substeps, pred_substeps, tile,
+           mesh, jnp.dtype(dtype).name)
+    seg = _SEGMENT_CACHE.get(cfg)
+    if seg is None:
+        def seg_fn(x0s_, plant_params_, carry_):
+            plant = lambda x, u: plant_b(*plant_params_, x, u)
+            return simulate_batch(
+                x0s_, plant, steps, policy, carry_, batched_dynamics=True
+            )
+
+        seg = jax.jit(seg_fn)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[cfg] = seg
+
+    hover = 0.5 * m0 * grav
+    carry0 = jnp.tile(
+        jnp.asarray([hover, hover], dtype), (batch, N)
+    ).reshape(batch, N * nu)
+    res = seg(x0s, plant_params, carry0)
+
+    err = res.logs["tracking_error"]
+    tail = err[steps // 4 :]
+    summary = {
+        "batch": int(batch),
+        "steps": int(steps),
+        "model": "planar-quadrotor",
+        "success_rate": float(
+            jnp.mean(res.logs["solver_success"].astype(jnp.float32))
+        ),
+        "mean_tracking_error": float(jnp.mean(tail)),
+        "p95_tracking_error": float(jnp.percentile(tail, 95.0)),
+        "rel_scale": float(rel_scale),
+    }
+    return res, summary
+
+
 def wind_sweep(
     batch: int,
     steps: int,

@@ -73,6 +73,13 @@ def seg_racing_sweep_dynamic():
     return _steady(lambda k: racing_sweep_dynamic(B, S, key=k), B * S)
 
 
+def seg_quadrotor_sweep():
+    from model_predictive_control_tpu.parallel.batch import quadrotor_sweep
+
+    B, S = 2048, 50
+    return _steady(lambda k: quadrotor_sweep(B, S, key=k), B * S)
+
+
 def seg_wind_sweep():
     from model_predictive_control_tpu.parallel.batch import wind_sweep
 
@@ -239,6 +246,7 @@ SEGMENTS = {
     "stochastic_sweep": seg_stochastic_sweep,
     "racing_sweep": seg_racing_sweep,
     "racing_sweep_dynamic": seg_racing_sweep_dynamic,
+    "quadrotor_sweep": seg_quadrotor_sweep,
     "wind_sweep": seg_wind_sweep,
     "offset_free_sweep": seg_offset_free_sweep,
     "mhe_loop": seg_mhe_loop,
