@@ -358,6 +358,28 @@ def batched_plant(plant_params: VehicleParameters, ts: float, substeps: int = 16
 _SEGMENT_CACHE: dict = {}
 _SEGMENT_CACHE_MAX = 16
 
+# Config-keyed cache for the heavy per-sweep SETUP objects (controller / MHE
+# construction: Ruiz equilibration, ρ-ladder KKT inverses, mRPI margins,
+# reference tables). Building these EAGERLY re-dispatches dozens of small
+# device ops through the remote tunnel on every sweep call, outside the
+# jitted segment — measured on the MHE loop as the dominant cost (33k
+# steps/s with per-call setup vs ~190k with it cached; the jitted segment
+# itself accounts for <0.2 s of the ~3 s call). Same bounded-FIFO policy as
+# the segment cache; entries are config-static device pytrees, so a cache
+# hit is exactly the object the previous call used.
+_SETUP_CACHE: dict = {}
+_SETUP_CACHE_MAX = 16
+
+
+def _setup_cached(cfg, builder):
+    obj = _SETUP_CACHE.get(cfg)
+    if obj is None:
+        obj = builder()
+        if len(_SETUP_CACHE) >= _SETUP_CACHE_MAX:
+            _SETUP_CACHE.pop(next(iter(_SETUP_CACHE)))
+        _SETUP_CACHE[cfg] = obj
+    return obj
+
 
 def parking_sweep(
     batch: int,
@@ -648,8 +670,12 @@ def racing_sweep(
         k_par, base, batch, rel_scale=rel_scale, fields=perturb_fields,
         dtype=dtype,
     )
-    ref = ellipse_reference(
-        steps + N + 1, speed=speed, ts=ts, dynamic=False, dtype=dtype
+    ref = _setup_cached(
+        ("ellipse-ref", steps + N + 1, float(speed), float(ts), False,
+         jnp.dtype(dtype).name),
+        lambda: ellipse_reference(
+            steps + N + 1, speed=speed, ts=ts, dynamic=False, dtype=dtype
+        ),
     )
 
     # start poses scattered around the lap start
@@ -867,12 +893,19 @@ def tube_sweep(
     key = jax.random.PRNGKey(0) if key is None else key
     k_x0, k_w = jax.random.split(key)
 
-    problem = mpc.session2_problem(N=N)
-    tube = make_tube_mpc(
-        problem, np.asarray(w_half, np.float64), iters=iters, dtype=dtype,
-        rho=rho,
+    def _build():
+        p = mpc.session2_problem(N=N)
+        t = make_tube_mpc(
+            p, np.asarray(w_half, np.float64), iters=iters, dtype=dtype,
+            rho=rho,
+        )
+        return p, t, p.system(dtype)
+
+    problem, tube, system = _setup_cached(
+        ("tube-setup", N, tuple(float(v) for v in w_half), iters,
+         float(rho), jnp.dtype(dtype).name),
+        _build,
     )
-    system = problem.system(dtype)
 
     # feasible-start sampling: v capped below the tightened v-box AND p far
     # enough from the wall that worst-case braking (u_min tightened, plus the
@@ -997,12 +1030,19 @@ def stochastic_sweep(
     key = jax.random.PRNGKey(0) if key is None else key
     k_x0, k_w = jax.random.split(key)
 
-    problem = mpc.session2_problem(N=N)
-    Sigma_w = np.diag([0.0, sigma_v**2])
-    ctrl = make_stochastic_mpc(
-        problem, Sigma_w, eps=eps, iters=iters, dtype=dtype, rho=rho
+    def _build():
+        p = mpc.session2_problem(N=N)
+        c = make_stochastic_mpc(
+            p, np.diag([0.0, sigma_v**2]), eps=eps, iters=iters,
+            dtype=dtype, rho=rho,
+        )
+        return p, c, p.system(dtype)
+
+    problem, ctrl, system = _setup_cached(
+        ("stoch-setup", N, float(sigma_v), float(eps), iters, float(rho),
+         jnp.dtype(dtype).name),
+        _build,
     )
-    system = problem.system(dtype)
 
     x0s = jnp.stack(
         [
@@ -1118,8 +1158,12 @@ def racing_sweep_dynamic(
         k_par, base, batch, rel_scale=rel_scale, fields=perturb_fields,
         dtype=dtype,
     )
-    ref = ellipse_reference(
-        steps + N + 1, speed=speed, ts=ts, dynamic=True, dtype=dtype
+    ref = _setup_cached(
+        ("ellipse-ref", steps + N + 1, float(speed), float(ts), True,
+         jnp.dtype(dtype).name),
+        lambda: ellipse_reference(
+            steps + N + 1, speed=speed, ts=ts, dynamic=True, dtype=dtype
+        ),
     )
     noise = jax.random.uniform(
         k_x0, (batch, NX_DYNAMIC), minval=-1.0, maxval=1.0, dtype=dtype
@@ -1339,15 +1383,22 @@ def quadrotor_sweep(
     m0, i0, arm0, grav = QUADROTOR_PARAMS
     u_max = 1.5 * m0 * grav
 
-    # loiter-circle reference table (steps + N + 1, 6)
-    t_tab = jnp.arange(steps + N + 1, dtype=dtype) * ts
-    om_ref = 2.0 * jnp.pi / period
-    px_r = radius * jnp.sin(om_ref * t_tab)
-    pz_r = radius * (1.0 - jnp.cos(om_ref * t_tab))
-    vx_r = radius * om_ref * jnp.cos(om_ref * t_tab)
-    vz_r = radius * om_ref * jnp.sin(om_ref * t_tab)
-    zero = jnp.zeros_like(t_tab)
-    ref = jnp.stack([px_r, pz_r, zero, vx_r, vz_r, zero], axis=-1)
+    def _build_ref():
+        # loiter-circle reference table (steps + N + 1, 6)
+        t_tab = jnp.arange(steps + N + 1, dtype=dtype) * ts
+        om_ref = 2.0 * jnp.pi / period
+        px_r = radius * jnp.sin(om_ref * t_tab)
+        pz_r = radius * (1.0 - jnp.cos(om_ref * t_tab))
+        vx_r = radius * om_ref * jnp.cos(om_ref * t_tab)
+        vz_r = radius * om_ref * jnp.sin(om_ref * t_tab)
+        zero = jnp.zeros_like(t_tab)
+        return jnp.stack([px_r, pz_r, zero, vx_r, vz_r, zero], axis=-1)
+
+    ref = _setup_cached(
+        ("quad-ref", steps + N + 1, float(radius), float(period), float(ts),
+         jnp.dtype(dtype).name),
+        _build_ref,
+    )
 
     factors = 1.0 + rel_scale * jax.random.uniform(
         k_par, (batch, 3), minval=-1.0, maxval=1.0, dtype=dtype
@@ -1522,8 +1573,16 @@ def wind_sweep(
     k_w, k_x0 = jax.random.split(key)
 
     base = VehicleParameters()
-    ref = ellipse_reference(
-        steps + N + 1, speed=speed, ts=ts, dynamic=False, dtype=dtype
+
+    def _build_ref():
+        return ellipse_reference(
+            steps + N + 1, speed=speed, ts=ts, dynamic=False, dtype=dtype
+        )
+
+    ref = _setup_cached(
+        ("wind-ref", steps + N + 1, float(speed), float(ts),
+         jnp.dtype(dtype).name),
+        _build_ref,
     )
 
     # per-scenario persistent wind: random direction x magnitude jitter
@@ -1546,14 +1605,22 @@ def wind_sweep(
     x0s = ref[0] + noise
     x0s = x0s.at[:, 3].set(jnp.clip(x0s[:, 3], 0.0, float(base.max_vel)))
 
-    step_fn = euler(lambda x, u: kinematic_bicycle_ode(base, x, u), ts)
-    ctrl = DisturbanceCompensatedTracking(
-        step_fn, nx=NX, nu=NU, N=N,
-        Q=jnp.asarray(Q_KINEMATIC, dtype), R=jnp.asarray(R_KINEMATIC, dtype),
-        QN=QN_SCALE * jnp.asarray(Q_KINEMATIC, dtype),
-        u_lb=jnp.asarray([base.min_drive, -base.max_steer], dtype),
-        u_ub=jnp.asarray([base.max_drive, base.max_steer], dtype),
-        ref_traj=ref, ts=ts, dtype=dtype,
+    def _build_ctrl():
+        step_fn = euler(lambda x, u: kinematic_bicycle_ode(base, x, u), ts)
+        return DisturbanceCompensatedTracking(
+            step_fn, nx=NX, nu=NU, N=N,
+            Q=jnp.asarray(Q_KINEMATIC, dtype),
+            R=jnp.asarray(R_KINEMATIC, dtype),
+            QN=QN_SCALE * jnp.asarray(Q_KINEMATIC, dtype),
+            u_lb=jnp.asarray([base.min_drive, -base.max_steer], dtype),
+            u_ub=jnp.asarray([base.max_drive, base.max_steer], dtype),
+            ref_traj=ref, ts=ts, dtype=dtype,
+        )
+
+    ctrl = _setup_cached(
+        ("wind-ctrl", N, float(ts), steps, float(speed),
+         jnp.dtype(dtype).name),
+        _build_ctrl,
     )
 
     geom, _ = parking_geometry(base, None, n_circles=3)
@@ -1757,14 +1824,19 @@ def offset_free_sweep(
     ) * jnp.asarray([0.1, 0.1, 0.2, 0.03], dtype)
     x0s = x0_center + noise
 
-    step_fn = euler(lambda x, u: kinematic_bicycle_ode(base, x, u), ts)
-    ctrl = OffsetFreeNMPC(
-        step_fn, nx=NX, nu=NU, N=N,
-        Q=jnp.asarray(Q_SOL, dtype), R=jnp.asarray([1.0, 0.01], dtype),
-        QN=QN_SCALE_SOL * jnp.asarray(Q_SOL, dtype),
-        u_lb=[base.min_drive, -base.max_steer],
-        u_ub=[base.max_drive, base.max_steer],
-        r=[0.0, 0.0], dtype=dtype,
+    def _build_ctrl():
+        step_fn = euler(lambda x, u: kinematic_bicycle_ode(base, x, u), ts)
+        return OffsetFreeNMPC(
+            step_fn, nx=NX, nu=NU, N=N,
+            Q=jnp.asarray(Q_SOL, dtype), R=jnp.asarray([1.0, 0.01], dtype),
+            QN=QN_SCALE_SOL * jnp.asarray(Q_SOL, dtype),
+            u_lb=[base.min_drive, -base.max_steer],
+            u_ub=[base.max_drive, base.max_steer],
+            r=[0.0, 0.0], dtype=dtype,
+        )
+
+    ctrl = _setup_cached(
+        ("ofs-ctrl", N, float(ts), jnp.dtype(dtype).name), _build_ctrl
     )
 
     geom, _ = parking_geometry(base, None, n_circles=3)
@@ -1914,31 +1986,43 @@ def mhe_loop_sweep(
     key = jax.random.PRNGKey(0) if key is None else key
     k_x0, k_w, k_v = jax.random.split(key, 3)
 
-    problem = mpc.session2_problem(N=N)
-    system = problem.system(dtype)
-    C = jnp.asarray([[1.0, 0.0]], dtype)  # position-only measurement
-    msys = type(system)(A=system.A, B=system.B, C=C)
-    Qw = (process_sigma**2) * jnp.eye(2, dtype=dtype)
-    Rv = jnp.asarray([[meas_sigma**2]], dtype)
-    # the MHE's hard box is the PHYSICAL envelope, not the controller's
-    # operating box: the soft-state MPC can transiently exceed the operating
-    # bounds (that is what the slacks are for), and an estimator whose bounds
-    # exclude reachable states diverges (measured: v clamped at 25 while the
-    # plant coasted to 45 under a weak slack penalty). Margin = 5 m / 5 m/s
-    # over the operating box; the heavy slack weight below keeps real
-    # violations at the noise level.
-    mhe = make_mhe(
-        msys, Qw, Rv, P0=0.1 * jnp.eye(2, dtype=dtype), M=M,
-        x_min=jnp.asarray([problem.p_min - 5.0, problem.v_min - 5.0], dtype),
-        x_max=jnp.asarray([problem.p_max + 5.0, problem.v_max + 5.0], dtype),
-        iters=mhe_iters,
-    )
-    ctrl = jax.jit(
-        lambda: mpc.make_linear_mpc(
-            problem, solver="admm", iters=mpc_iters, dtype=dtype,
-            soft_state=True, slack_weight=1e4, rho=mpc_rho,
+    def _build():
+        problem = mpc.session2_problem(N=N)
+        system = problem.system(dtype)
+        C = jnp.asarray([[1.0, 0.0]], dtype)  # position-only measurement
+        msys = type(system)(A=system.A, B=system.B, C=C)
+        Qw = (process_sigma**2) * jnp.eye(2, dtype=dtype)
+        Rv = jnp.asarray([[meas_sigma**2]], dtype)
+        # the MHE's hard box is the PHYSICAL envelope, not the controller's
+        # operating box: the soft-state MPC can transiently exceed the
+        # operating bounds (that is what the slacks are for), and an estimator
+        # whose bounds exclude reachable states diverges (measured: v clamped
+        # at 25 while the plant coasted to 45 under a weak slack penalty).
+        # Margin = 5 m / 5 m/s over the operating box; the heavy slack weight
+        # below keeps real violations at the noise level.
+        mhe = make_mhe(
+            msys, Qw, Rv, P0=0.1 * jnp.eye(2, dtype=dtype), M=M,
+            x_min=jnp.asarray(
+                [problem.p_min - 5.0, problem.v_min - 5.0], dtype
+            ),
+            x_max=jnp.asarray(
+                [problem.p_max + 5.0, problem.v_max + 5.0], dtype
+            ),
+            iters=mhe_iters,
         )
-    )()
+        ctrl = jax.jit(
+            lambda: mpc.make_linear_mpc(
+                problem, solver="admm", iters=mpc_iters, dtype=dtype,
+                soft_state=True, slack_weight=1e4, rho=mpc_rho,
+            )
+        )()
+        return problem, system, C, mhe, ctrl
+
+    problem, system, C, mhe, ctrl = _setup_cached(
+        ("mheloop-setup", N, M, float(meas_sigma), float(process_sigma),
+         mpc_iters, float(mpc_rho), mhe_iters, jnp.dtype(dtype).name),
+        _build,
+    )
     mpc_policy = ctrl.batched_policy(backend="pallas", tile=tile)
 
     # feasible starts: the M-step backward-consistent warm-up history (below)
@@ -1956,32 +2040,38 @@ def mhe_loop_sweep(
     vs = meas_sigma * jax.random.normal(k_v, (steps, batch, 1), dtype)
     A, B = system.A, system.B
 
-    def policy(x_batch, t, carry):
-        ys_buf, us_buf, xbar, mpc_carry, mhe_warm = carry
-        v = jax.lax.dynamic_index_in_dim(vs, t, axis=0, keepdims=False)
-        y = x_batch @ C.T + v  # (B, 1)
-        ys_buf = jnp.concatenate([ys_buf[:, 1:], y[:, None]], axis=1)
-        x_t, X, w, sol = mhe.solve_batch(
-            xbar, us_buf, ys_buf, backend="pallas", tile=tile, warm=mhe_warm
-        )
-        u, mpc_carry, mpc_aux = mpc_policy(x_t, t, mpc_carry)
-        # frozen-arrival recursion, batched (mhe_trajectory semantics)
-        xbar_next = X[:, 0] @ A.T + u @ B.T + w[:, 0]
-        us_buf = jnp.concatenate([us_buf[:, 1:], u[:, None]], axis=1)
-        aux = {
-            "solver_success": mpc_aux["solver_success"],
-            "mhe_converged": sol.converged,
-            "state_estimate": x_t,
-        }
-        return u, (ys_buf, us_buf, xbar_next, mpc_carry, (sol.x, sol.y)), aux
-
     cfg = ("mheloop", N, M, float(meas_sigma), float(process_sigma),
            mpc_iters, float(mpc_rho), mhe_iters, tile, steps,
            jnp.dtype(dtype).name)
     seg = _SEGMENT_CACHE.get(cfg)
     if seg is None:
         @solver_precision  # estimation-grade linalg end to end
-        def seg_fn(x0s_, ws_, carry_):
+        def seg_fn(x0s_, ws_, vs_, carry_):
+            # measurement noise flows as an ARGUMENT (not a closure constant)
+            # so a cached segment uses each call's fresh realization
+            def policy(x_batch, t, carry):
+                ys_buf, us_buf, xbar, mpc_carry, mhe_warm = carry
+                v = jax.lax.dynamic_index_in_dim(
+                    vs_, t, axis=0, keepdims=False
+                )
+                y = x_batch @ C.T + v  # (B, 1)
+                ys_buf = jnp.concatenate([ys_buf[:, 1:], y[:, None]], axis=1)
+                x_t, X, w, sol = mhe.solve_batch(
+                    xbar, us_buf, ys_buf, backend="pallas", tile=tile,
+                    warm=mhe_warm,
+                )
+                u, mpc_carry, mpc_aux = mpc_policy(x_t, t, mpc_carry)
+                # frozen-arrival recursion, batched (mhe_trajectory semantics)
+                xbar_next = X[:, 0] @ A.T + u @ B.T + w[:, 0]
+                us_buf = jnp.concatenate([us_buf[:, 1:], u[:, None]], axis=1)
+                aux = {
+                    "solver_success": mpc_aux["solver_success"],
+                    "mhe_converged": sol.converged,
+                    "state_estimate": x_t,
+                }
+                carry = (ys_buf, us_buf, xbar_next, mpc_carry, (sol.x, sol.y))
+                return u, carry, aux
+
             return simulate_batch(
                 x0s_, system, steps, policy, carry_, disturbances=ws_
             )
@@ -2014,7 +2104,7 @@ def mhe_loop_sweep(
     # warm-started success rate (the bench.py pattern)
     mpc_warm0 = ctrl.presolve_batch_carry(x0s, iters_mult=4, tile=tile)
     carry0 = (ys_buf0, us_buf0, xbar0, mpc_warm0, mhe_warm0)
-    res = seg(x0s, ws, carry0)
+    res = seg(x0s, ws, vs, carry0)
 
     # the step-t window end estimates the PRE-step state (the one measured)
     est_err = res.logs["state_estimate"] - res.states[:-1]
