@@ -68,7 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.pytree import pytree_dataclass
 
-ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
+ALPHAS = (1.0, 0.75, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
 
 # Mosaic has no `atan` lowering (NotImplementedError: Unimplemented primitive
 # atan) — slip angles / magic-formula tires and any heading computation need

@@ -54,7 +54,7 @@ from ...utils.pytree import pytree_dataclass
 
 NX = 4
 NU = 2
-ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
+ALPHAS = (1.0, 0.75, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
 
 
 @pytree_dataclass
