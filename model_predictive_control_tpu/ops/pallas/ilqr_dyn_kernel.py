@@ -15,8 +15,10 @@ packed alpha-grid line search, per-scenario Levenberg/AL adaptivity, and the
 Mosaic-compatible polynomial ``atan`` the magic formula needs); this module
 is the Pacejka *instantiation* — the row-form single-track ODE
 (``models/bicycle.py::dynamic_bicycle_ode`` math) plus the static parameter
-plumbing. The factory refactor is trace-identical on this tier: same ops,
-same schedule, same measured 103k closed-loop solves/s.
+plumbing. The factory refactor was trace-identical on this tier at the time
+of the split; the factory's round-4b select-blend line search and 8-alpha
+grid then took the measured tier from 103k to 134.5k closed-loop solves/s
+at success 0.9999 (``BENCH_CONTRACT.json::racing_sweep_dynamic``).
 
 Scope: tracking mode (the dynamic tier is a lap tracker; references are
 required), input-box constraints (nc = 4) — matching the XLA twin

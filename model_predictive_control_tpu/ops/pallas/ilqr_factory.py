@@ -52,9 +52,10 @@ XLA, measured) for ANY user model instead of one hand-ported specialization.
 
 Supported today: ``nu in (1, 2)`` (closed-form regularized Quu solves; the
 pattern extends by unrolled Cholesky — ``utils/smallsolve.py`` — when a
-wider-input model shows up), any ``nx`` small enough for VMEM (the 6-state
-tier budgets ~((2N+2)·nx + 3N·nu + N·nu·nx + N·nc + a few) · tile · 4 bytes
-of scratch; nx ≤ ~12 is comfortable at tile 512).
+wider-input model shows up), any ``nx`` small enough for VMEM (the scratch
+budget is ~((N+1)·nx·(1+A) + N·nu·(2+A) + N·nu·nx + N·nc) · tile · 4 bytes
+with A = len(ALPHAS) = 8 candidate-pack rows; nx ≤ ~12 is comfortable at
+tile 512 under the 100 MB scoped-VMEM cap).
 """
 
 from __future__ import annotations
