@@ -133,7 +133,7 @@ def al_ilqr_dyn_kernel_roofline(
     substeps: int = 4,
     outer_iters: int = 3,
     inner_iters: int = 8,
-    ls_alphas: int = 8,
+    ls_alphas: int = 7,
 ) -> KernelRoofline:
     """Work model of ``ops/pallas/ilqr_dyn_kernel.py`` per scenario-solve
     (round 4 — the 6-state Pacejka tracking kernel).
@@ -179,9 +179,9 @@ def al_ilqr_kernel_roofline(
     n_pairs: int = 9,
     outer_iters: int = 6,
     inner_iters: int = 15,
-    # 8 grid alphas (round 4b: the accept re-rollout became a sublane select
-    # out of the candidate packs, freeing the 8th sublane for a grid point)
-    ls_alphas: int = 8,
+    # 7 grid alphas; the historical 8th (1, T) accept re-rollout was replaced
+    # by the round-4b sublane select out of the candidate packs
+    ls_alphas: int = 7,
 ) -> KernelRoofline:
     """Work model of ``ops/pallas/ilqr_kernel.py`` per scenario-solve.
 

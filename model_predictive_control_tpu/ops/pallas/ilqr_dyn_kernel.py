@@ -16,9 +16,11 @@ Mosaic-compatible polynomial ``atan`` the magic formula needs); this module
 is the Pacejka *instantiation* — the row-form single-track ODE
 (``models/bicycle.py::dynamic_bicycle_ode`` math) plus the static parameter
 plumbing. The factory refactor was trace-identical on this tier at the time
-of the split; the factory's round-4b select-blend line search and 8-alpha
-grid then took the measured tier from 103k to 134.5k closed-loop solves/s
-at success 0.9999 (``BENCH_CONTRACT.json::racing_sweep_dynamic``).
+of the split; the factory's round-4b select-blend line search then took the
+measured tier from 103k to 131.5k closed-loop solves/s at success 0.9998
+(``BENCH_CONTRACT.json::racing_sweep_dynamic``). (An 8th line-search alpha
+briefly pushed 131.5k → 134.5k but broke the per-solve stationarity
+certificate on some draws and was reverted in round 5.)
 
 Scope: tracking mode (the dynamic tier is a lap tracker; references are
 required), input-box constraints (nc = 4) — matching the XLA twin

@@ -54,7 +54,7 @@ Supported today: ``nu in (1, 2)`` (closed-form regularized Quu solves; the
 pattern extends by unrolled Cholesky — ``utils/smallsolve.py`` — when a
 wider-input model shows up), any ``nx`` small enough for VMEM (the scratch
 budget is ~((N+1)·nx·(1+A) + N·nu·(2+A) + N·nu·nx + N·nc) · tile · 4 bytes
-with A = len(ALPHAS) = 8 candidate-pack rows; nx ≤ ~12 is comfortable at
+with A = len(ALPHAS) = 7 candidate-pack rows; nx ≤ ~12 is comfortable at
 tile 512 under the 100 MB scoped-VMEM cap).
 """
 
@@ -69,7 +69,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.pytree import pytree_dataclass
 
-ALPHAS = (1.0, 0.75, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
+ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
 
 # Mosaic has no `atan` lowering (NotImplementedError: Unimplemented primitive
 # atan) — slip angles / magic-formula tires and any heading computation need
@@ -552,7 +552,13 @@ def _tracker_tile_kernel(
         sel = (alpha_col == best_alpha).astype(f32)  # (A, T)
 
         def pick(pack_row):  # (A, T) -> (1, T)
-            return jnp.sum(sel * pack_row, axis=0, keepdims=True)
+            # Mask, don't multiply: a NON-selected candidate row may hold a
+            # diverged rollout (±inf/NaN — exactly what the isfinite guard on
+            # costs anticipates), and 0.0 * inf = NaN would poison the
+            # accepted lane's blended trajectory permanently.
+            return jnp.sum(
+                jnp.where(sel > 0.0, pack_row, 0.0), axis=0, keepdims=True
+            )
 
         def body(t_i, _):
             us_s[t_i] = jnp.where(

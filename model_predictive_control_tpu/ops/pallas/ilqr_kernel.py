@@ -54,7 +54,7 @@ from ...utils.pytree import pytree_dataclass
 
 NX = 4
 NU = 2
-ALPHAS = (1.0, 0.75, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
+ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.01)
 
 
 @pytree_dataclass
@@ -651,7 +651,12 @@ def _alilqr_tile_kernel(
         sel = (alpha_col == best_alpha).astype(f32)  # (A, T)
 
         def pick(pack_row):  # (A, T) -> (1, T)
-            return jnp.sum(sel * pack_row, axis=0, keepdims=True)
+            # Mask, don't multiply: a NON-selected candidate row may hold a
+            # diverged rollout (±inf/NaN), and 0.0 * inf = NaN would poison
+            # the accepted lane's blended trajectory permanently.
+            return jnp.sum(
+                jnp.where(sel > 0.0, pack_row, 0.0), axis=0, keepdims=True
+            )
 
         def body(t_i, _):
             us_s[t_i] = jnp.where(

@@ -1478,8 +1478,13 @@ def quadrotor_sweep(
         x0s = jax.device_put(x0s, sh)
         plant_params = jax.tree.map(lambda l: jax.device_put(l, sh), plant_params)
 
+    # the cache key carries the EFFECTIVE tile (not the requested one): the
+    # closed-over solve_step baked min(tile, round_up(batch, 128)) at build
+    # time, so two calls differing only in batch must not share a segment
+    # whose kernel tile was sized for the other batch (advisor r4, low)
     cfg = ("quadrotor", N, float(ts), steps, float(radius), float(period),
-           outer_iters, inner_iters, plant_substeps, pred_substeps, tile,
+           outer_iters, inner_iters, plant_substeps, pred_substeps,
+           min(tile, ((batch + 127) // 128) * 128),
            mesh, jnp.dtype(dtype).name)
     seg = _SEGMENT_CACHE.get(cfg)
     if seg is None:
