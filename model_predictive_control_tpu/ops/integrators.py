@@ -48,6 +48,23 @@ def rk4(f: Dynamics, ts: float) -> Dynamics:
     return step
 
 
+def euler_fine(f: Dynamics, ts: float, substeps: int = 1) -> Dynamics:
+    """Forward Euler with uniform substeps — ``substeps=1`` is exactly
+    :func:`euler` (the reference's parking prediction model,
+    ``session_4/main.py:76``); matches the fused factory's
+    ``integrator="euler"`` prediction path bit-for-bit in structure."""
+    inner = euler(f, ts / substeps)
+
+    def step(x, u):
+        def body(x, _):
+            return inner(x, u), None
+
+        x_next, _ = jax.lax.scan(body, x, None, length=substeps)
+        return x_next
+
+    return step
+
+
 def rk4_fine(f: Dynamics, ts: float, substeps: int = 16) -> Dynamics:
     """High-accuracy tier: RK4 with uniform substeps, replacing ``odeint``
     (``session_4/main.py:150-170``) with a fixed-shape TPU-friendly scheme."""

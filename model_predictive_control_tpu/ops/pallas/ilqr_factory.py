@@ -118,24 +118,26 @@ class BatchedTrackerSolution:
     xs: jnp.ndarray  # (B, N + 1, nx)
     viol: jnp.ndarray  # (B,)
     converged: jnp.ndarray  # (B,) bool
+    lam: jnp.ndarray  # (B, N, nc) converged AL multipliers (warm-start handle)
+    inner_iters_executed: jnp.ndarray  # (B,) tile-granular delivered work
 
 
 def _tracker_tile_kernel(
     x0_ref,  # (nx, T)
     u0_ref,  # (N, nu, T)
-    ref_ref,  # (N + 1, nx, T) tracking reference window
-    us_out,  # (N, nu, T)
-    xs_out,  # (N + 1, nx, T)
-    viol_out,  # (1, T)
-    conv_out,  # (1, T)
-    xs_s,  # scratch (N + 1, nx, T)
-    us_s,  # scratch (N, nu, T)
-    xs_p,  # scratch (N + 1, nx, A, T) line-search candidate pack (all alphas)
-    us_p,  # scratch (N, nu, A, T)
-    k_s,  # scratch (N, nu, T) feedforward gains
-    K_s,  # scratch (N, nu * nx, T) feedback gains, row a*nx+i
-    lam_s,  # scratch (N, nc, T) AL multipliers
-    *,
+    *rest,  # optional inputs + outputs + scratch, in pallas_call order:
+    #   [ref_ref (N + 1, nx, T) — tracking reference window, when track=True;
+    #    regulation mode (refs=None) drops the operand and the buffer]
+    #   [par_ref (n_params, T) — per-scenario static-in-horizon ODE / extra-
+    #    constraint parameters, when n_params > 0: ode_rows / extra
+    #    constraints receive them as a third tuple of (1, T) rows]
+    #   [lam0_ref (N, nc, T) — AL-multiplier warm start, when has_lam]
+    #   us_out (N, nu, T), xs_out (N + 1, nx, T), viol_out (1, T),
+    #   conv_out (1, T), lam_out (N, nc, T), ni_out (1, T) — executed INNER
+    #   iterations summed over the outer AL rounds (delivered-work counter)
+    #   scratch: xs_s (N + 1, nx, T), us_s (N, nu, T),
+    #   xs_p / us_p ((.., A, T) line-search candidate packs),
+    #   k_s (N, nu, T), K_s (N, nu * nx, T), lam_s (N, nc, T)
     ode_rows,  # callable: see module docstring
     nx: int,
     nu: int,
@@ -143,9 +145,15 @@ def _tracker_tile_kernel(
     nc: int,
     ts: float,
     substeps: int,
+    integrator: str,  # "rk4" | "euler"
     limits: tuple,  # (lb_u(nu), ub_u(nu))
     state_limits: tuple | None,  # None or (lb_x(nx), ub_x(nx))
     weights: tuple,  # (Qd(nx), Rd(nu), qn)
+    extra_constraints,  # None or callable (xr, ur[, pr]) -> rows (c <= 0)
+    n_extra: int,
+    extra_deps: str,  # "x" | "xu": which variables the extra rows touch
+    extra_order: int,  # 1 = Gauss-Newton AL Hessian, 2 = + exact act·∂²c
+    n_params: int,
     outer_iters: int,
     inner_iters: int,
     mu_init: float,
@@ -156,25 +164,64 @@ def _tracker_tile_kernel(
     reg_init: float,
     reg_min: float,
     reg_max: float,
+    track: bool,
+    has_lam: bool,
 ):
+    if track:
+        ref_ref, *rest = rest
+    else:
+        ref_ref = None
+    if n_params:
+        par_ref, *rest = rest
+    else:
+        par_ref = None
+    if has_lam:
+        lam0_ref, *rest = rest
+    else:
+        lam0_ref = None
+    (
+        us_out, xs_out, viol_out, conv_out, lam_out, ni_out,
+        xs_s, us_s, xs_p, us_p, k_s, K_s, lam_s,
+    ) = rest
     f32 = jnp.float32
     T = x0_ref.shape[-1]
     NZ = nx + nu  # jvp basis-pack width
     LBU, UBU = limits
     QD, RD, QN = weights
 
+    # per-scenario parameter rows ((1, T), broadcast over alpha/jvp packs);
+    # closed over by the dynamics and extra-constraint calls — they are
+    # never differentiated, so the jvp basis stays (nx + nu)-wide
+    if n_params:
+        pr = tuple(par_ref[p : p + 1] for p in range(n_params))
+        ode_call = lambda xr, ur: ode_rows(xr, ur, pr)  # noqa: E731
+        if extra_constraints is not None:
+            extra_call = lambda xr, ur: extra_constraints(xr, ur, pr)  # noqa: E731
+        else:
+            extra_call = None
+    else:
+        ode_call = ode_rows
+        extra_call = extra_constraints
+
     H = ts / substeps
 
     def step_rows(xr, ur):
-        """One MPC interval: ``substeps`` classic RK4 steps (rk4_fine)."""
+        """One MPC interval: ``substeps`` classic RK4 (rk4_fine semantics) or
+        forward-Euler sub-steps (the reference's parking prediction model,
+        ``session_4/main.py:76``)."""
+        if integrator == "euler":
+            for _ in range(substeps):
+                k1 = ode_call(xr, ur)
+                xr = tuple(xr[i] + H * k1[i] for i in range(nx))
+            return xr
         for _ in range(substeps):
-            k1 = ode_rows(xr, ur)
+            k1 = ode_call(xr, ur)
             x2 = tuple(xr[i] + 0.5 * H * k1[i] for i in range(nx))
-            k2 = ode_rows(x2, ur)
+            k2 = ode_call(x2, ur)
             x3 = tuple(xr[i] + 0.5 * H * k2[i] for i in range(nx))
-            k3 = ode_rows(x3, ur)
+            k3 = ode_call(x3, ur)
             x4 = tuple(xr[i] + H * k3[i] for i in range(nx))
-            k4 = ode_rows(x4, ur)
+            k4 = ode_call(x4, ur)
             xr = tuple(
                 xr[i]
                 + (H / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
@@ -234,6 +281,7 @@ def _tracker_tile_kernel(
     # ---- cost / constraints ---------------------------------------------------
     # constraint rows: [u - ub_u (nu), lb_u - u (nu)]
     #                (+ [x - ub_x (nx), lb_x - x (nx)] with a state box)
+    #                (+ n_extra user rows, c <= 0 form)
     def constraint_row_list(xr, ur):
         rows = []
         for j in range(nu):
@@ -246,6 +294,8 @@ def _tracker_tile_kernel(
                 rows.append(xr[i] - UBX[i])
             for i in range(nx):
                 rows.append(LBX[i] - xr[i])
+        if extra_call is not None:
+            rows.extend(extra_call(xr, ur))
         return rows
 
     def constraint_rows(x, u):
@@ -256,11 +306,19 @@ def _tracker_tile_kernel(
             )
         )
 
-    def ref_rows(t_i):
-        rr = ref_ref[t_i]  # (nx, T)
-        return tuple(rr[i : i + 1] for i in range(nx))
+    # tracking reference rows (None in regulation mode: the quadratic cost
+    # regulates to the origin and the (N+1, nx, T) ref buffer is dropped)
+    if track:
+        def ref_rows(t_i):
+            rr = ref_ref[t_i]  # (nx, T)
+            return tuple(rr[i : i + 1] for i in range(nx))
+    else:
+        def ref_rows(t_i):
+            return None
 
     def _quad_err(xr, rr):
+        if rr is None:
+            return sum(QD[i] * xr[i] * xr[i] for i in range(nx))
         return sum(QD[i] * (xr[i] - rr[i]) * (xr[i] - rr[i]) for i in range(nx))
 
     def stage_cost_rows(xr, ur, lam, mu, rr):
@@ -290,17 +348,123 @@ def _tracker_tile_kernel(
             tuple(x[i : i + 1] for i in range(nx)), ref_rows(N)
         )
 
-    def stage_derivs(x, u, lam, mu, rr):
-        """lx (list of nx (1,T)), lu (nu), hxx diag (nx), huu diag (nu).
+    # ---- user constraint-row derivatives (packed jvp) --------------------------
+    # NE = width of the derivative basis: nx when the rows are state-only
+    # (extra_deps="x" — e.g. obstacle clearances), nx + nu in general.
+    NE = nx + (nu if extra_deps == "xu" else 0)
+    if extra_call is not None:
+        _ei = jax.lax.broadcasted_iota(jnp.int32, (NE, 1), 0)
 
-        Tracking cost is diagonal and the box AL rows touch only the matching
-        diagonal, so all Hessian blocks are diagonal and lux is identically
-        zero."""
-        lx = [2.0 * QD[i] * (x[i : i + 1] - rr[i]) for i in range(nx)]
+        def _ebasis(p):
+            return (_ei == p).astype(f32)  # (NE, 1)
+
+        def _acc_h(hxx, huu, lux, p, q, v):
+            """Accumulate a second-derivative entry into the right block;
+            (p, q) index the NE-wide basis (x rows first, then u rows)."""
+            if p > q:
+                p, q = q, p
+            if q < nx:
+                hxx[(p, q)] = hxx.get((p, q), 0.0) + v
+            elif p >= nx:
+                a, b = p - nx, q - nx
+                huu[(a, b)] = huu.get((a, b), 0.0) + v
+            else:
+                lux[(q - nx, p)] = lux.get((q - nx, p), 0.0) + v
+
+        def extra_derivs(x, u, lam, mu, lx, lu, hxx, huu, lux):
+            """AL gradient/Hessian contributions of the user rows.
+
+            One packed ``jax.jvp`` on an (NE, T) basis pack yields every row's
+            full gradient (exactly the trick :func:`dyn_jac` uses for the
+            dynamics); the m rows are then re-packed into (m, T) sublane
+            blocks so the accumulation is one vectorized reduction per matrix
+            entry instead of per-row (1, T) op groups. ``extra_order == 2``
+            adds the exact constraint-curvature term Σ_r act_r·∂²c_r via NE
+            forward-over-forward passes (column q of the Hessian per pass) —
+            matching the XLA oracle's ``jax.hessian``; ``extra_order == 1``
+            keeps the Gauss-Newton (ALTRO-style) convexification."""
+            ur1 = tuple(u[j : j + 1] for j in range(nu))
+            zero_lanes = 0.0 * x[0:1]  # see dyn_jac: defeat lane-constant folding
+            if extra_deps == "xu":
+                prim = tuple(
+                    jnp.broadcast_to(x[i : i + 1], (NE, T)) for i in range(nx)
+                ) + tuple(
+                    jnp.broadcast_to(u[j : j + 1], (NE, T)) for j in range(nu)
+                )
+                fn = lambda *z: tuple(extra_call(z[:nx], z[nx:]))  # noqa: E731
+            else:
+                prim = tuple(
+                    jnp.broadcast_to(x[i : i + 1], (NE, T)) for i in range(nx)
+                )
+                fn = lambda *z: tuple(extra_call(z, ur1))  # noqa: E731
+            tang = tuple(
+                jnp.broadcast_to(_ebasis(p), (NE, T)) + zero_lanes
+                for p in range(NE)
+            )
+            vals, dvals = jax.jvp(fn, prim, tang)
+            C = jnp.concatenate([vals[r][0:1] for r in range(n_extra)])  # (m,T)
+            G = [
+                jnp.concatenate([dvals[r][p : p + 1] for r in range(n_extra)])
+                for p in range(NE)
+            ]  # G[p] (m, T): ∂c_r/∂z_p in row r
+            base = 2 * nu + (2 * nx if state_limits is not None else 0)
+            lam_e = lam[base : base + n_extra]  # (m, T)
+            act = jnp.maximum(0.0, lam_e + mu * C)
+            ind = mu * (act > 0.0).astype(f32)
+
+            def rsum(v):  # reduce over the row dim -> (1, T)
+                return jnp.sum(v, axis=0, keepdims=True)
+
+            for p in range(NE):
+                gp = rsum(act * G[p])
+                if p < nx:
+                    lx[p] = lx[p] + gp
+                else:
+                    lu[p - nx] = lu[p - nx] + gp
+            # Gauss-Newton block: μ·1[act>0]·g gᵀ
+            for p in range(NE):
+                for q in range(p, NE):
+                    _acc_h(hxx, huu, lux, p, q, rsum(ind * G[p] * G[q]))
+            if extra_order == 2:
+                for q in range(NE):
+                    def gq(*z, _q=q):
+                        zl = 0.0 * z[0][0:1]
+                        dirn = tuple(
+                            (jnp.ones_like(z[0]) if w == _q
+                             else jnp.zeros_like(z[0])) + zl
+                            for w in range(NE)
+                        )
+                        return jax.jvp(fn, z, dirn)[1]
+
+                    _, d2 = jax.jvp(gq, prim, tang)
+                    # d2[r][p] = ∂²c_r/∂z_p∂z_q ; fill the canonical p >= q half
+                    for p in range(q, NE):
+                        hpq = rsum(
+                            act
+                            * jnp.concatenate(
+                                [d2[r][p : p + 1] for r in range(n_extra)]
+                            )
+                        )
+                        _acc_h(hxx, huu, lux, p, q, hpq)
+
+    def stage_derivs(x, u, lam, mu, rr):
+        """lx (list of nx (1,T)), lu (nu), and SPARSE second-derivative dicts:
+        hxx {(i, j) i<=j}, huu {(a, b) a<=b}, lux {(a, i)}.
+
+        The diagonal tracking cost and box AL rows touch only diagonals; user
+        constraint rows (extra_constraints) contribute dense blocks through
+        :func:`extra_derivs`. Absent keys are structural zeros — the backward
+        pass emits no code for them, so configs without extra rows compile to
+        exactly the round-4 diagonal kernel."""
+        if rr is None:
+            lx = [2.0 * QD[i] * x[i : i + 1] for i in range(nx)]
+        else:
+            lx = [2.0 * QD[i] * (x[i : i + 1] - rr[i]) for i in range(nx)]
         lu = [2.0 * RD[j] * u[j : j + 1] for j in range(nu)]
         one = jnp.ones((1, T), f32)
-        hxx = [2.0 * QD[i] * one for i in range(nx)]
-        huu = [2.0 * RD[j] * one for j in range(nu)]
+        hxx = {(i, i): 2.0 * QD[i] * one for i in range(nx)}
+        huu = {(j, j): 2.0 * RD[j] * one for j in range(nu)}
+        lux = {}
         for j in range(nu):
             cu = u[j : j + 1] - UBU[j]
             cl = LBU[j] - u[j : j + 1]
@@ -308,7 +472,7 @@ def _tracker_tile_kernel(
             act_l = jnp.maximum(0.0, lam[nu + j : nu + j + 1] + mu * cl)
             lu[j] = lu[j] + act_u - act_l
             ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
-            huu[j] = huu[j] + mu * ind
+            huu[(j, j)] = huu[(j, j)] + mu * ind
         if state_limits is not None:
             LBX, UBX = state_limits
             off = 2 * nu
@@ -321,8 +485,10 @@ def _tracker_tile_kernel(
                 )
                 lx[i] = lx[i] + act_u - act_l
                 ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
-                hxx[i] = hxx[i] + mu * ind
-        return lx, lu, hxx, huu
+                hxx[(i, i)] = hxx[(i, i)] + mu * ind
+        if extra_call is not None:
+            extra_derivs(x, u, lam, mu, lx, lu, hxx, huu, lux)
+        return lx, lu, hxx, huu, lux
 
     # ---- trajectory-wide helpers ---------------------------------------------
     def rollout_into(xs_buf, us_from):
@@ -351,9 +517,14 @@ def _tracker_tile_kernel(
         nx*i+j."""
         xN = xs_s[N]
         rrN = ref_rows(N)
-        Vx = jnp.concatenate(
-            [2.0 * QN * QD[i] * (xN[i : i + 1] - rrN[i]) for i in range(nx)]
-        )
+        if rrN is None:
+            Vx = jnp.concatenate(
+                [2.0 * QN * QD[i] * xN[i : i + 1] for i in range(nx)]
+            )
+        else:
+            Vx = jnp.concatenate(
+                [2.0 * QN * QD[i] * (xN[i : i + 1] - rrN[i]) for i in range(nx)]
+            )
         zero = jnp.zeros((1, T), f32)
         Vxx = jnp.concatenate(
             [
@@ -369,7 +540,9 @@ def _tracker_tile_kernel(
             x = xs_s[t_i]
             u = us_s[t_i]
             _, A, B = dyn_jac(x, u)
-            lx, lu, hxx, huu = stage_derivs(x, u, lam_s[t_i], mu, ref_rows(t_i))
+            lx, lu, hxx, huu, lux = stage_derivs(
+                x, u, lam_s[t_i], mu, ref_rows(t_i)
+            )
 
             def V(i, j):
                 return Vxx[nx * i + j : nx * i + j + 1]
@@ -389,14 +562,14 @@ def _tracker_tile_kernel(
                 [sum(V(i, k) * A[k][j] for k in range(nx)) for j in range(nx)]
                 for i in range(nx)
             ]
-            # Qxx = lxx + A^T M (lxx diagonal), symmetrized
+            # Qxx = lxx + A^T M (lxx sparse-dict, canonical i<=j), symmetrized
             Qxx = [[None] * nx for _ in range(nx)]
             for i in range(nx):
                 for j in range(i, nx):
                     vij = sum(A[k][i] * M[k][j] for k in range(nx))
                     vji = sum(A[k][j] * M[k][i] for k in range(nx))
                     sym = 0.5 * (vij + vji)
-                    Qxx[i][j] = sym + (hxx[i] if i == j else 0.0)
+                    Qxx[i][j] = sym + hxx.get((i, j), 0.0)
                     Qxx[j][i] = Qxx[i][j]
             # VB[k][b] = (Vxx B)[k][b] ;  Quu = luu + B^T Vxx B (nu x nu)
             VB = [
@@ -405,18 +578,25 @@ def _tracker_tile_kernel(
             ]
             quu = [
                 [
-                    (huu[a] if a == b else 0.0)
+                    huu.get((min(a, b), max(a, b)), 0.0)
                     + sum(B[k][a] * VB[k][b] for k in range(nx))
                     for b in range(nu)
                 ]
                 for a in range(nu)
             ]
-            # Qux = B^T M  (nu x nx); lux = 0 (separable cost, diagonal rows)
+            # Qux = lux + B^T M  (nu x nx); lux is nonzero only when user
+            # constraint rows couple x and u (extra_deps="xu")
             Qux = [
-                [sum(B[k][a] * M[k][j] for k in range(nx)) for j in range(nx)]
+                [
+                    lux.get((a, j), 0.0)
+                    + sum(B[k][a] * M[k][j] for k in range(nx))
+                    for j in range(nx)
+                ]
                 for a in range(nu)
             ]
-            # regularized closed-form Quu solve; f32 ok-mask (no i1 vectors)
+            # regularized Quu solve; f32 ok-mask (no i1 vectors). Closed form
+            # at nu <= 2 (round-4 measured path); unrolled Cholesky beyond
+            # (utils/smallsolve.py pattern on (1, T) lanes — round 5).
             if nu == 1:
                 q00r = quu[0][0] + reg
                 ok_t = (q00r > 0.0).astype(f32)
@@ -433,18 +613,58 @@ def _tracker_tile_kernel(
                     [q11r / det_safe, -q01 / det_safe],
                     [-q01 / det_safe, q00r / det_safe],
                 ]
-            else:  # pragma: no cover - guarded in make_fused_tracker
-                raise NotImplementedError("nu > 2 needs an unrolled Cholesky")
-            kg = [
-                -sum(inv[a][b] * Qu[b] for b in range(nu)) for a in range(nu)
-            ]
-            Kg = [
-                [
-                    -sum(inv[a][b] * Qux[b][j] for b in range(nu))
+            else:
+                inv = None
+                L = [[None] * nu for _ in range(nu)]
+                ok_t = jnp.ones((1, T), f32)
+                for a in range(nu):
+                    for b in range(a + 1):
+                        s = quu[a][b] + (reg if a == b else 0.0)
+                        for w in range(b):
+                            s = s - L[a][w] * L[b][w]
+                        if a == b:
+                            ok_t = ok_t * (s > 0.0).astype(f32)
+                            s_safe = jnp.where(s > 0.0, s, jnp.ones_like(s))
+                            L[a][a] = jnp.sqrt(s_safe)
+                        else:
+                            L[a][b] = s / L[b][b]
+
+                def chol_solve(rhs):  # rhs: list of nu (1,T) rows
+                    y = [None] * nu
+                    for a in range(nu):
+                        s = rhs[a]
+                        for w in range(a):
+                            s = s - L[a][w] * y[w]
+                        y[a] = s / L[a][a]
+                    sol = [None] * nu
+                    for a in reversed(range(nu)):
+                        s = y[a]
+                        for w in range(a + 1, nu):
+                            s = s - L[w][a] * sol[w]
+                        sol[a] = s / L[a][a]
+                    return sol
+
+            if inv is not None:
+                kg = [
+                    -sum(inv[a][b] * Qu[b] for b in range(nu))
+                    for a in range(nu)
+                ]
+                Kg = [
+                    [
+                        -sum(inv[a][b] * Qux[b][j] for b in range(nu))
+                        for j in range(nx)
+                    ]
+                    for a in range(nu)
+                ]
+            else:
+                kg = [-v for v in chol_solve(Qu)]
+                Kcols = [
+                    chol_solve([Qux[a][j] for a in range(nu)])
                     for j in range(nx)
                 ]
-                for a in range(nu)
-            ]
+                Kg = [
+                    [-Kcols[j][a] for j in range(nx)] for a in range(nu)
+                ]
             # Vx' = Qx + K^T (Quu k + Qu) + Qux^T k  (UNregularized Quu)
             g = [
                 sum(quu[a][b] * kg[b] for b in range(nu)) + Qu[a]
@@ -612,20 +832,21 @@ def _tracker_tile_kernel(
 
         reg0 = jnp.full((1, T), reg_init, f32)
         grad0 = jnp.full((1, T), jnp.inf, f32)
-        _, _, _, grad = jax.lax.while_loop(
+        n_it, _, _, grad = jax.lax.while_loop(
             cond, body, (jnp.int32(0), cost0, reg0, grad0)
         )
-        return grad
+        return grad, n_it
 
     # ---- outer AL loop ----------------------------------------------------------
     def al_cond(carry):
-        oi, _mu, viol, lam_step = carry
+        oi, _mu, viol, lam_step, _ni = carry
         solved = jnp.all((viol < viol_tol) & (lam_step < 1e-3))
         return jnp.logical_and(oi < outer_iters, jnp.logical_not(solved))
 
     def al_body(carry):
-        oi, mu, _viol, _lam_step = carry
-        _ = ilqr(mu)
+        oi, mu, _viol, _lam_step, ni = carry
+        _, n_it = ilqr(mu)
+        ni = ni + n_it
 
         def body(t_i, carry2):
             viol, step, lmax = carry2
@@ -648,12 +869,15 @@ def _tracker_tile_kernel(
         viol, step, lmax = jax.lax.fori_loop(0, N, body, (z, z, z))
         lam_step = step / (1.0 + lmax)
         mu_n = jnp.where(viol > viol_tol, jnp.minimum(mu * mu_scale, mu_max), mu)
-        return oi + 1, mu_n, viol, lam_step
+        return oi + 1, mu_n, viol, lam_step, ni
 
     # ---- init + run ---------------------------------------------------------------
     def init_body(t_i, _):
         us_s[t_i] = u0_ref[t_i]
-        lam_s[t_i] = jnp.zeros((nc, T), f32)
+        if has_lam:
+            lam_s[t_i] = lam0_ref[t_i]
+        else:
+            lam_s[t_i] = jnp.zeros((nc, T), f32)
         return 0
 
     jax.lax.fori_loop(0, N, init_body, 0)
@@ -661,33 +885,38 @@ def _tracker_tile_kernel(
 
     mu0 = jnp.full((1, T), mu_init, f32)
     inf = jnp.full((1, T), jnp.inf, f32)
-    _, _, viol, _ = jax.lax.while_loop(
-        al_cond, al_body, (jnp.int32(0), mu0, inf, inf)
+    _, _, viol, _, ni_total = jax.lax.while_loop(
+        al_cond, al_body, (jnp.int32(0), mu0, inf, inf, jnp.int32(0))
     )
 
     def out_body(t_i, _):
         us_out[t_i] = us_s[t_i]
         xs_out[t_i] = xs_s[t_i]
+        lam_out[t_i] = lam_s[t_i]
         return 0
 
     jax.lax.fori_loop(0, N, out_body, 0)
     xs_out[N] = xs_s[N]
     viol_out[:] = viol
     conv_out[:] = (viol < viol_tol).astype(f32)
+    ni_out[:] = jnp.full((1, T), 1.0, f32) * ni_total.astype(f32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ode_rows", "nx", "nu", "N", "ts", "substeps", "limits",
-        "state_limits", "weights", "outer_iters", "inner_iters", "tile",
+        "ode_rows", "nx", "nu", "N", "ts", "substeps", "integrator",
+        "limits", "state_limits", "weights",
+        "extra_constraints", "n_extra", "extra_deps", "extra_order",
+        "n_params", "outer_iters", "inner_iters", "tile",
         "mu_init", "mu_scale", "mu_max", "viol_tol", "tol", "interpret",
     ),
 )
 def fused_tracker_solve(
     x0s: jnp.ndarray,  # (B, nx)
     u_init: jnp.ndarray,  # (B, N, nu)
-    refs: jnp.ndarray,  # (B, N + 1, nx) tracking reference windows
+    refs: jnp.ndarray | None = None,  # (B, N + 1, nx) tracking windows;
+    #                                   None = regulation to the origin
     *,
     ode_rows,
     nx: int,
@@ -698,6 +927,14 @@ def fused_tracker_solve(
     limits: tuple,  # (lb_u(nu), ub_u(nu))
     weights: tuple,  # (Qd(nx), Rd(nu), qn)
     state_limits: tuple | None = None,  # (lb_x(nx), ub_x(nx))
+    integrator: str = "rk4",  # "rk4" (rk4_fine) | "euler" (reference parking)
+    extra_constraints=None,  # callable (xr, ur[, pr]) -> n_extra rows, c <= 0
+    n_extra: int = 0,
+    extra_deps: str = "xu",  # "x": rows touch states only (halves the basis)
+    extra_order: int = 2,  # 2 = exact act·∂²c curvature, 1 = Gauss-Newton
+    params: jnp.ndarray | None = None,  # (B, n_params) per-scenario ODE params
+    n_params: int = 0,
+    lam_init: jnp.ndarray | None = None,  # (B, N, nc) AL warm start
     outer_iters: int = 6,
     inner_iters: int = 15,
     mu_init: float = 10.0,
@@ -708,36 +945,72 @@ def fused_tracker_solve(
     tile: int = 512,
     interpret: bool | None = None,
 ) -> BatchedTrackerSolution:
-    """Batched tracking AL-iLQR for a user-supplied row-form ODE via the fused
-    Pallas kernel; mirrors ``vmap(al_ilqr_solve)`` on the same OCP with
-    per-scenario adaptivity. Prefer :func:`make_fused_tracker` for a bound
-    step function (stable jit-cache key included).
+    """Batched AL-iLQR for a user-supplied row-form ODE via the fused Pallas
+    kernel; mirrors ``vmap(al_ilqr_solve)`` on the same OCP with per-scenario
+    adaptivity. Prefer :func:`make_fused_tracker` for a bound step function
+    (stable jit-cache key included).
 
-    ``ode_rows`` is a static argument — pass the SAME function object on
-    every call (module-level def or a cached closure) or each new identity
-    recompiles the kernel.
+    ``ode_rows`` / ``extra_constraints`` are static arguments — pass the SAME
+    function objects on every call (module-level defs or cached closures) or
+    each new identity recompiles the kernel.
+
+    Round-5 generality (VERDICT r4 items 2/3): ``refs=None`` gives regulation
+    mode; ``extra_constraints`` adds arbitrary user inequality rows (c ≤ 0)
+    with packed-jvp-exact AL derivatives — the obstacle-parking clearances of
+    ``session_4/main.py:95-104`` compile through this hook; ``params`` feeds
+    per-scenario ODE parameters (the reference's model-mismatch axis); the
+    backward pass solves Quu by unrolled Cholesky for ``2 < nu <= 8``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if nu not in (1, 2):
+    if not 1 <= nu <= 8:
         raise NotImplementedError(
-            "fused_tracker_solve supports nu in (1, 2); extend the backward "
-            "pass with an unrolled Cholesky (utils/smallsolve.py) for wider "
-            "input spaces"
+            "fused_tracker_solve supports 1 <= nu <= 8 (closed form at "
+            "nu <= 2, unrolled Cholesky beyond; wider input spaces would "
+            "swamp VMEM with gain rows before the solve is the problem)"
         )
+    if extra_constraints is not None and n_extra <= 0:
+        raise ValueError("extra_constraints requires n_extra > 0")
+    if extra_deps not in ("x", "xu"):
+        raise ValueError("extra_deps must be 'x' or 'xu'")
+    if params is not None and n_params != params.shape[-1]:
+        raise ValueError("params.shape[-1] must equal n_params")
     f32 = jnp.float32
     B = x0s.shape[0]
-    nc = 2 * nu + (2 * nx if state_limits is not None else 0)
+    track = refs is not None
+    has_lam = lam_init is not None
+    nc = (
+        2 * nu
+        + (2 * nx if state_limits is not None else 0)
+        + (n_extra if extra_constraints is not None else 0)
+    )
 
     Bp = ((B + tile - 1) // tile) * tile
     pad = Bp - B
-    x0_l = jnp.transpose(x0s.astype(f32))  # (nx, B)
-    u0_l = jnp.transpose(u_init.astype(f32), (1, 2, 0))  # (N, nu, B)
-    ref_l = jnp.transpose(refs.astype(f32), (1, 2, 0))  # (N+1, nx, B)
-    if pad:
-        x0_l = jnp.pad(x0_l, ((0, 0), (0, pad)))
-        u0_l = jnp.pad(u0_l, ((0, 0), (0, 0), (0, pad)))
-        ref_l = jnp.pad(ref_l, ((0, 0), (0, 0), (0, pad)))
+
+    def lanes(v, perm):
+        v = jnp.transpose(v.astype(f32), perm)
+        if pad:
+            v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)])
+        return v
+
+    operands = [lanes(x0s, (1, 0)), lanes(u_init, (1, 2, 0))]
+    in_specs_extra = []
+    spec2 = lambda r: pl.BlockSpec(
+        (r, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    spec3 = lambda a, r: pl.BlockSpec(
+        (a, r, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    if track:
+        operands.append(lanes(refs, (1, 2, 0)))  # (N+1, nx, B)
+        in_specs_extra.append(spec3(N + 1, nx))
+    if n_params:
+        operands.append(lanes(params, (1, 0)))  # (n_params, B)
+        in_specs_extra.append(spec2(n_params))
+    if has_lam:
+        operands.append(lanes(lam_init, (1, 2, 0)))  # (N, nc, B)
+        in_specs_extra.append(spec3(N, nc))
 
     kernel = functools.partial(
         _tracker_tile_kernel,
@@ -748,9 +1021,15 @@ def fused_tracker_solve(
         nc=nc,
         ts=float(ts),
         substeps=substeps,
+        integrator=integrator,
         limits=limits,
         state_limits=state_limits,
         weights=weights,
+        extra_constraints=extra_constraints,
+        n_extra=n_extra,
+        extra_deps=extra_deps,
+        extra_order=extra_order,
+        n_params=n_params,
         outer_iters=outer_iters,
         inner_iters=inner_iters,
         mu_init=float(mu_init),
@@ -761,25 +1040,26 @@ def fused_tracker_solve(
         reg_init=1.0,
         reg_min=1e-8,
         reg_max=1e8,
+        track=track,
+        has_lam=has_lam,
     )
 
     grid = (Bp // tile,)
-    spec2 = lambda r: pl.BlockSpec(
-        (r, tile), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    spec3 = lambda a, r: pl.BlockSpec(
-        (a, r, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-    )
 
-    us_l, xs_l, viol_l, conv_l = pl.pallas_call(
+    us_l, xs_l, viol_l, conv_l, lam_l, ni_l = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec2(nx), spec3(N, nu), spec3(N + 1, nx)],
-        out_specs=[spec3(N, nu), spec3(N + 1, nx), spec2(1), spec2(1)],
+        in_specs=[spec2(nx), spec3(N, nu)] + in_specs_extra,
+        out_specs=[
+            spec3(N, nu), spec3(N + 1, nx), spec2(1), spec2(1),
+            spec3(N, nc), spec2(1),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((N, nu, Bp), f32),
             jax.ShapeDtypeStruct((N + 1, nx, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
+            jax.ShapeDtypeStruct((1, Bp), f32),
+            jax.ShapeDtypeStruct((N, nc, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
         ],
         scratch_shapes=[
@@ -795,12 +1075,17 @@ def fused_tracker_solve(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x0_l, u0_l, ref_l)
+    )(*operands)
 
     us = jnp.transpose(us_l, (2, 0, 1))[:B]
     xs = jnp.transpose(xs_l, (2, 0, 1))[:B]
     return BatchedTrackerSolution(
-        us=us, xs=xs, viol=viol_l[0, :B], converged=conv_l[0, :B] > 0.5
+        us=us,
+        xs=xs,
+        viol=viol_l[0, :B],
+        converged=conv_l[0, :B] > 0.5,
+        lam=jnp.transpose(lam_l, (2, 0, 1))[:B],
+        inner_iters_executed=ni_l[0, :B],
     )
 
 
@@ -810,10 +1095,12 @@ def make_fused_tracker(ode_rows, nx: int, nu: int, **config):
         step = make_fused_tracker(my_ode, nx=6, nu=2, N=15, ts=0.05,
                                   substeps=4, limits=..., weights=...)
         sol = step(x0s, u_init, refs)    # BatchedTrackerSolution
+        sol = step(x0s, u_init)          # regulation mode (no reference)
 
     All keyword ``config`` is forwarded to :func:`fused_tracker_solve`
     statically, so every call through the returned function hits the same
-    jit cache entry.
+    jit cache entry. Per-call arrays (``params``, ``lam_init``) stay
+    call-site keywords.
     """
     return functools.partial(
         fused_tracker_solve, ode_rows=ode_rows, nx=nx, nu=nu, **config

@@ -251,15 +251,17 @@ def test_rowform_to_vector_adapter():
 
 
 def test_factory_rejects_wide_inputs():
-    """nu > 2 is an explicit scope guard, not a silent miscompile."""
+    """nu > 8 is an explicit scope guard, not a silent miscompile (nu <= 8 is
+    in scope since round 5's unrolled-Cholesky Quu solve — see
+    test_factory_nu3/nu4 for the certified wide-input paths)."""
     ode_rows = make_cartpole_ode_rows(CARTPOLE_PARAMS)
-    with pytest.raises(NotImplementedError, match="nu in"):
+    with pytest.raises(NotImplementedError, match="nu <= 8"):
         fused_tracker_solve(
             jnp.zeros((2, 4), jnp.float32),
-            jnp.zeros((2, N, 3), jnp.float32),
+            jnp.zeros((2, N, 9), jnp.float32),
             jnp.zeros((2, N + 1, 4), jnp.float32),
-            ode_rows=ode_rows, nx=4, nu=3, N=N, ts=TS, substeps=SUB,
-            limits=((0.0,) * 3, (1.0,) * 3),
-            weights=((1.0,) * 4, (0.1,) * 3, 10.0),
+            ode_rows=ode_rows, nx=4, nu=9, N=N, ts=TS, substeps=SUB,
+            limits=((0.0,) * 9, (1.0,) * 9),
+            weights=((1.0,) * 4, (0.1,) * 9, 10.0),
             tile=TILE,
         )
