@@ -140,6 +140,33 @@ def make_omnibase_ode_rows(params: tuple = OMNIBASE_PARAMS):
 
 
 @functools.lru_cache(maxsize=16)
+def make_omnibase_param_ode_rows(params: tuple = OMNIBASE_PARAMS):
+    """Omnibase ODE in the factory's PER-SCENARIO-parameter form: the mass
+    arrives as ``pr = (m,)`` — one (1, T) row per scenario lane — instead of
+    a compile-time constant (``fused_tracker_solve(..., params=...,
+    n_params=1)``). Exercises the reference's model-mismatch axis
+    (``session4_sol.py:410-411`` perturbs the plant per experiment) inside
+    ONE kernel executable."""
+    _, inertia, c_v, c_w = params
+
+    def ode_rows(xr, ur, pr):
+        _px, _py, th, vx, vy, om = xr
+        ff, fl, tq = ur
+        (m,) = pr
+        s, c = jnp.sin(th), jnp.cos(th)
+        return (
+            vx,
+            vy,
+            om,
+            (ff * c - fl * s) / m - c_v * vx,
+            (ff * s + fl * c) / m - c_v * vy,
+            tq / inertia - c_w * om,
+        )
+
+    return ode_rows
+
+
+@functools.lru_cache(maxsize=16)
 def make_thruster_ode_rows(params: tuple = THRUSTER_PARAMS):
     """Row-form thrust-cluster ODE (nu = 4): a 3-D point mass with four
     fixed thrusters in a pyramid around +z (half-angle ``cone``), each

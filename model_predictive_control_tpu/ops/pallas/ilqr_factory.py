@@ -99,6 +99,84 @@ def matan(x):
     return jnp.where(x < 0.0, -r, r)
 
 
+@functools.lru_cache(maxsize=64)
+def step_jacobian_pattern(ode_rows, nx: int, nu: int, n_params: int = 0):
+    """Structural sparsity of the discrete step's Jacobian, from jaxpr
+    dependency analysis of the user ODE (round 5).
+
+    Traces ``ode_rows`` once with dummy scalars and walks the jaxpr: output
+    row r depends on input z_d iff some op chain connects them. The one-step
+    map (Euler or RK4, any substep count) then has A-pattern = boolean
+    closure of (I ∪ S_x) and B-pattern = closure @ S_u — CONSERVATIVE
+    (control flow counts both branches), so a False entry is a structural
+    zero of ∂x⁺/∂z and the backward pass can skip its products outright.
+    Measured: the kinematic bicycle's positions never enter the dynamics
+    derivatives (A columns 0/1 are e_0/e_1), which is exactly the sparsity
+    the hand-written kernel (``ilqr_kernel.py::dyn``) exploits analytically.
+
+    Returns (A_pat, B_pat) as tuples-of-tuples of bool; on any analysis
+    surprise falls back to fully dense (all True)."""
+    import numpy as np
+    from jax.extend.core import Literal
+
+    def f(*z):
+        xr = tuple(z[:nx])
+        ur = tuple(z[nx : nx + nu])
+        if n_params:
+            pr = tuple(z[nx + nu :])
+            return tuple(ode_rows(xr, ur, pr))
+        return tuple(ode_rows(xr, ur))
+
+    dense = (
+        tuple((True,) * nx for _ in range(nx)),
+        tuple((True,) * nu for _ in range(nx)),
+    )
+    try:
+        n_in = nx + nu + n_params
+        closed = jax.make_jaxpr(f)(
+            *[jnp.zeros((1, 1), jnp.float32)] * n_in
+        )
+        jaxpr = closed.jaxpr
+
+        deps: dict = {}
+        for i, v in enumerate(jaxpr.invars):
+            deps[v] = frozenset([i]) if i < nx + nu else frozenset()
+
+        def var_deps(v):
+            if isinstance(v, Literal):
+                return frozenset()
+            return deps.get(v, frozenset())
+
+        def walk(jx):
+            for eqn in jx.eqns:
+                ind = frozenset().union(
+                    *[var_deps(v) for v in eqn.invars]
+                ) if eqn.invars else frozenset()
+                # conservative on higher-order primitives: all outputs
+                # inherit every input dependency (no recursion needed —
+                # union over invars is a superset of any inner routing)
+                for ov in eqn.outvars:
+                    deps[ov] = ind
+
+        walk(jaxpr)
+        S = np.zeros((nx, nx + nu), dtype=bool)
+        for r, ov in enumerate(jaxpr.outvars):
+            for d in var_deps(ov):
+                S[r, d] = True
+        # closure of the one-substep state map I ∪ S_x
+        R = np.eye(nx, dtype=bool) | S[:, :nx]
+        for _ in range(nx):
+            R = R | (R @ R)
+        A_pat = R
+        B_pat = R @ S[:, nx:]
+        return (
+            tuple(tuple(bool(b) for b in row) for row in A_pat),
+            tuple(tuple(bool(b) for b in row) for row in B_pat),
+        )
+    except Exception:  # pragma: no cover - analysis is best-effort
+        return dense
+
+
 def rowform_to_vector(ode_rows, nx: int, nu: int):
     """Adapt a row-form ODE to the ``(x_vec, u_vec) -> xdot_vec`` convention
     used by the XLA solver path (``solvers/ilqr.py``) and the integrators —
@@ -154,6 +232,7 @@ def _tracker_tile_kernel(
     extra_deps: str,  # "x" | "xu": which variables the extra rows touch
     extra_order: int,  # 1 = Gauss-Newton AL Hessian, 2 = + exact act·∂²c
     n_params: int,
+    jac_pattern: tuple,  # (A_pat, B_pat) structural step-Jacobian sparsity
     outer_iters: int,
     inner_iters: int,
     mu_init: float,
@@ -269,11 +348,25 @@ def _tracker_tile_kernel(
             lambda *z: step_rows(z[:nx], z[nx:]), prim, tang
         )
         xn = jnp.concatenate([out_p[k][0:1] for k in range(nx)])
+        # structurally-zero entries (jaxpr dependency analysis at build time,
+        # step_jacobian_pattern) become None — every backward product that
+        # touches them is skipped at TRACE time. The kinematic bicycle drops
+        # 6 of 16 A entries + 4 of 8 B entries this way; the Pacejka model's
+        # position columns vanish the same way the hand kernel's analytic
+        # Jacobians do.
+        A_pat, B_pat = jac_pattern
         A = [
-            [out_t[k][i : i + 1] for i in range(nx)] for k in range(nx)
+            [
+                out_t[k][i : i + 1] if A_pat[k][i] else None
+                for i in range(nx)
+            ]
+            for k in range(nx)
         ]  # A[k][i] = d x_next_k / d x_i
         B = [
-            [out_t[k][nx + j : nx + j + 1] for j in range(nu)]
+            [
+                out_t[k][nx + j : nx + j + 1] if B_pat[k][j] else None
+                for j in range(nu)
+            ]
             for k in range(nx)
         ]
         return xn, A, B
@@ -349,9 +442,18 @@ def _tracker_tile_kernel(
         )
 
     # ---- user constraint-row derivatives (packed jvp) --------------------------
-    # NE = width of the derivative basis: nx when the rows are state-only
-    # (extra_deps="x" — e.g. obstacle clearances), nx + nu in general.
-    NE = nx + (nu if extra_deps == "xu" else 0)
+    # The derivative basis covers only the z-columns the rows can touch:
+    # extra_deps="xu" -> all nx + nu, "x" -> the nx states, or an explicit
+    # tuple of z indices (z = x rows then u rows) — e.g. the parking
+    # clearances touch (px, py, ψ) only, so deps=(0, 1, 2) shrinks both the
+    # gradient pack and the quadratic number of curvature passes.
+    if extra_deps == "xu":
+        DEPS = tuple(range(nx + nu))
+    elif extra_deps == "x":
+        DEPS = tuple(range(nx))
+    else:
+        DEPS = tuple(int(d) for d in extra_deps)
+    NE = len(DEPS)
     if extra_call is not None:
         _ei = jax.lax.broadcasted_iota(jnp.int32, (NE, 1), 0)
 
@@ -360,7 +462,7 @@ def _tracker_tile_kernel(
 
         def _acc_h(hxx, huu, lux, p, q, v):
             """Accumulate a second-derivative entry into the right block;
-            (p, q) index the NE-wide basis (x rows first, then u rows)."""
+            (p, q) are FULL z indices (x rows first, then u rows)."""
             if p > q:
                 p, q = q, p
             if q < nx:
@@ -383,20 +485,22 @@ def _tracker_tile_kernel(
             forward-over-forward passes (column q of the Hessian per pass) —
             matching the XLA oracle's ``jax.hessian``; ``extra_order == 1``
             keeps the Gauss-Newton (ALTRO-style) convexification."""
-            ur1 = tuple(u[j : j + 1] for j in range(nu))
+            zrows = [x[i : i + 1] for i in range(nx)] + [
+                u[j : j + 1] for j in range(nu)
+            ]
             zero_lanes = 0.0 * x[0:1]  # see dyn_jac: defeat lane-constant folding
-            if extra_deps == "xu":
-                prim = tuple(
-                    jnp.broadcast_to(x[i : i + 1], (NE, T)) for i in range(nx)
-                ) + tuple(
-                    jnp.broadcast_to(u[j : j + 1], (NE, T)) for j in range(nu)
-                )
-                fn = lambda *z: tuple(extra_call(z[:nx], z[nx:]))  # noqa: E731
-            else:
-                prim = tuple(
-                    jnp.broadcast_to(x[i : i + 1], (NE, T)) for i in range(nx)
-                )
-                fn = lambda *z: tuple(extra_call(z, ur1))  # noqa: E731
+
+            # pack only the DEPS columns; the rest stay closed-over constants
+            prim = tuple(
+                jnp.broadcast_to(zrows[d], (NE, T)) for d in DEPS
+            )
+
+            def fn(*zp):
+                full = list(zrows)
+                for k, d in enumerate(DEPS):
+                    full[d] = zp[k]
+                return tuple(extra_call(tuple(full[:nx]), tuple(full[nx:])))
+
             tang = tuple(
                 jnp.broadcast_to(_ebasis(p), (NE, T)) + zero_lanes
                 for p in range(NE)
@@ -406,7 +510,7 @@ def _tracker_tile_kernel(
             G = [
                 jnp.concatenate([dvals[r][p : p + 1] for r in range(n_extra)])
                 for p in range(NE)
-            ]  # G[p] (m, T): ∂c_r/∂z_p in row r
+            ]  # G[p] (m, T): ∂c_r/∂z_{DEPS[p]} in row r
             base = 2 * nu + (2 * nx if state_limits is not None else 0)
             lam_e = lam[base : base + n_extra]  # (m, T)
             act = jnp.maximum(0.0, lam_e + mu * C)
@@ -417,35 +521,46 @@ def _tracker_tile_kernel(
 
             for p in range(NE):
                 gp = rsum(act * G[p])
-                if p < nx:
-                    lx[p] = lx[p] + gp
+                d = DEPS[p]
+                if d < nx:
+                    lx[d] = lx[d] + gp
                 else:
-                    lu[p - nx] = lu[p - nx] + gp
+                    lu[d - nx] = lu[d - nx] + gp
             # Gauss-Newton block: μ·1[act>0]·g gᵀ
             for p in range(NE):
                 for q in range(p, NE):
-                    _acc_h(hxx, huu, lux, p, q, rsum(ind * G[p] * G[q]))
+                    _acc_h(
+                        hxx, huu, lux, DEPS[p], DEPS[q],
+                        rsum(ind * G[p] * G[q]),
+                    )
             if extra_order == 2:
+                # curvature Σ_r act_r·∂²c_r: contract rows with the FROZEN
+                # act weights BEFORE differentiating — the scalar wfn's
+                # jvp-of-jvp streams then carry one row instead of m, and
+                # the per-pass primal/first-tangent streams are identical
+                # across passes (CSE fodder); pass q yields Hessian column q
+                def wfn(*zp):
+                    rows = fn(*zp)
+                    return sum(
+                        act[r : r + 1] * rows[r] for r in range(n_extra)
+                    )
+
                 for q in range(NE):
-                    def gq(*z, _q=q):
+                    def hq(*z, _q=q):
                         zl = 0.0 * z[0][0:1]
                         dirn = tuple(
                             (jnp.ones_like(z[0]) if w == _q
                              else jnp.zeros_like(z[0])) + zl
                             for w in range(NE)
                         )
-                        return jax.jvp(fn, z, dirn)[1]
+                        return jax.jvp(wfn, z, dirn)[1]
 
-                    _, d2 = jax.jvp(gq, prim, tang)
-                    # d2[r][p] = ∂²c_r/∂z_p∂z_q ; fill the canonical p >= q half
+                    _, col = jax.jvp(hq, prim, tang)
+                    # col[p] = Σ_r act_r ∂²c_r/∂z_p∂z_q ; canonical p >= q half
                     for p in range(q, NE):
-                        hpq = rsum(
-                            act
-                            * jnp.concatenate(
-                                [d2[r][p : p + 1] for r in range(n_extra)]
-                            )
+                        _acc_h(
+                            hxx, huu, lux, DEPS[p], DEPS[q], col[p : p + 1]
                         )
-                        _acc_h(hxx, huu, lux, p, q, hpq)
 
     def stage_derivs(x, u, lam, mu, rr):
         """lx (list of nx (1,T)), lu (nu), and SPARSE second-derivative dicts:
@@ -534,6 +649,26 @@ def _tracker_tile_kernel(
             ]
         )
 
+        # None-aware products: None marks a STRUCTURAL zero (dyn_jac sparsity
+        # or an absent Hessian-dict entry) — skipped at trace time, so the
+        # emitted code only ever multiplies genuinely-nonzero entries.
+        def _mul(a, b):
+            return None if (a is None or b is None) else a * b
+
+        def _msum(terms):
+            terms = [t for t in terms if t is not None]
+            if not terms:
+                return None
+            s = terms[0]
+            for t in terms[1:]:
+                s = s + t
+            return s
+
+        zrow = jnp.zeros((1, T), f32)
+
+        def _arr(v):  # boundary: storage/solves need real rows
+            return zrow if v is None else v
+
         def body(s, carry):
             Vx, Vxx, ok, grad = carry
             t_i = N - 1 - s
@@ -550,46 +685,56 @@ def _tracker_tile_kernel(
             Vxr = [Vx[i : i + 1] for i in range(nx)]
             # Qx = lx + A^T Vx ;  Qu = lu + B^T Vx
             Qx = [
-                lx[i] + sum(A[k][i] * Vxr[k] for k in range(nx))
+                _msum([lx[i]] + [_mul(A[k][i], Vxr[k]) for k in range(nx)])
                 for i in range(nx)
             ]
             Qu = [
-                lu[j] + sum(B[k][j] * Vxr[k] for k in range(nx))
+                _msum([lu[j]] + [_mul(B[k][j], Vxr[k]) for k in range(nx)])
                 for j in range(nu)
             ]
-            # M = Vxx A  (dense nx x nx)
+            # M = Vxx A  (column sparsity of A carries through)
             M = [
-                [sum(V(i, k) * A[k][j] for k in range(nx)) for j in range(nx)]
+                [
+                    _msum([_mul(V(i, k), A[k][j]) for k in range(nx)])
+                    for j in range(nx)
+                ]
                 for i in range(nx)
             ]
             # Qxx = lxx + A^T M (lxx sparse-dict, canonical i<=j), symmetrized
             Qxx = [[None] * nx for _ in range(nx)]
             for i in range(nx):
                 for j in range(i, nx):
-                    vij = sum(A[k][i] * M[k][j] for k in range(nx))
-                    vji = sum(A[k][j] * M[k][i] for k in range(nx))
-                    sym = 0.5 * (vij + vji)
-                    Qxx[i][j] = sym + hxx.get((i, j), 0.0)
+                    vij = _msum([_mul(A[k][i], M[k][j]) for k in range(nx)])
+                    vji = _msum([_mul(A[k][j], M[k][i]) for k in range(nx)])
+                    sym = _mul(0.5, _msum([vij, vji]))
+                    Qxx[i][j] = _arr(_msum([sym, hxx.get((i, j))]))
                     Qxx[j][i] = Qxx[i][j]
             # VB[k][b] = (Vxx B)[k][b] ;  Quu = luu + B^T Vxx B (nu x nu)
             VB = [
-                [sum(V(k, m) * B[m][b] for m in range(nx)) for b in range(nu)]
+                [
+                    _msum([_mul(V(k, m), B[m][b]) for m in range(nx)])
+                    for b in range(nu)
+                ]
                 for k in range(nx)
             ]
             quu = [
                 [
-                    huu.get((min(a, b), max(a, b)), 0.0)
-                    + sum(B[k][a] * VB[k][b] for k in range(nx))
+                    _arr(_msum(
+                        [huu.get((min(a, b), max(a, b)))]
+                        + [_mul(B[k][a], VB[k][b]) for k in range(nx)]
+                    ))
                     for b in range(nu)
                 ]
                 for a in range(nu)
             ]
             # Qux = lux + B^T M  (nu x nx); lux is nonzero only when user
-            # constraint rows couple x and u (extra_deps="xu")
+            # constraint rows couple x and u (extra_deps includes u columns)
             Qux = [
                 [
-                    lux.get((a, j), 0.0)
-                    + sum(B[k][a] * M[k][j] for k in range(nx))
+                    _arr(_msum(
+                        [lux.get((a, j))]
+                        + [_mul(B[k][a], M[k][j]) for k in range(nx)]
+                    ))
                     for j in range(nx)
                 ]
                 for a in range(nu)
@@ -971,8 +1116,14 @@ def fused_tracker_solve(
         )
     if extra_constraints is not None and n_extra <= 0:
         raise ValueError("extra_constraints requires n_extra > 0")
-    if extra_deps not in ("x", "xu"):
-        raise ValueError("extra_deps must be 'x' or 'xu'")
+    if extra_deps not in ("x", "xu") and not (
+        isinstance(extra_deps, tuple)
+        and all(isinstance(d, int) and 0 <= d < nx + nu for d in extra_deps)
+    ):
+        raise ValueError(
+            "extra_deps must be 'x', 'xu', or a tuple of z indices "
+            "(x rows 0..nx-1, then u rows nx..nx+nu-1)"
+        )
     if params is not None and n_params != params.shape[-1]:
         raise ValueError("params.shape[-1] must equal n_params")
     f32 = jnp.float32
@@ -1030,6 +1181,7 @@ def fused_tracker_solve(
         extra_deps=extra_deps,
         extra_order=extra_order,
         n_params=n_params,
+        jac_pattern=step_jacobian_pattern(ode_rows, nx, nu, n_params),
         outer_iters=outer_iters,
         inner_iters=inner_iters,
         mu_init=float(mu_init),

@@ -194,8 +194,8 @@ def batched_parking_policy(
 
     if (
         solver == "ilqr"
-        and backend == "pallas"
-        and jnp.dtype(dtype) == jnp.float32  # the kernel is f32-only
+        and backend in ("pallas", "factory")
+        and jnp.dtype(dtype) == jnp.float32  # the kernels are f32-only
     ):
         batched_fields = {
             f.name
@@ -207,7 +207,19 @@ def batched_parking_policy(
                 al_ilqr_solve_pallas,
                 parking_geometry,
             )
+            from ..ops.pallas.parking_factory import (
+                al_ilqr_parking_solve_factory,
+            )
 
+            # backend="factory": the identical OCP compiled through the
+            # model-parametric factory (packed-jvp clearance derivatives)
+            # instead of the hand-specialized kernel — the round-5 parity
+            # surface for the generality claim (tests/test_parking_factory)
+            solve_fn = (
+                al_ilqr_parking_solve_factory
+                if backend == "factory"
+                else al_ilqr_solve_pallas
+            )
             n_circ = 0 if x_obs_raw is None else 3
             nc = 2 * 4 + 2 * NU + n_circ * n_circ
             geom, limits = parking_geometry(
@@ -222,7 +234,7 @@ def batched_parking_policy(
             def solve_local(x_batch, warm, lam_warm, accv, fricv):
                 B = x_batch.shape[0]
                 tile_eff = min(tile, ((B + 127) // 128) * 128)
-                sol = al_ilqr_solve_pallas(
+                sol = solve_fn(
                     x_batch, warm.reshape(B, N, NU), accv, fricv,
                     lam_init=lam_warm,
                     N=N, ts=float(ts), geom=geom, limits=limits,

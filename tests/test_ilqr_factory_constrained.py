@@ -1,0 +1,161 @@
+"""User constraint rows + per-scenario parameters in the fused factory.
+
+Round 5 (VERDICT r4 item 2): ``extra_constraints`` compiles arbitrary user
+inequality rows (c ≤ 0) into the fused AL-iLQR kernel with packed-jvp-exact
+derivatives. Certified here on planar-quadrotor OBSTACLE AVOIDANCE — the
+constraint class of the reference's flagship parking OCP
+(``session_4/main.py:95-104``: circle-clearance rows) on a different model —
+against the x64 XLA oracle solving the identical OCP, at both Hessian orders
+(exact act·∂²c curvature and Gauss-Newton). The per-scenario ``params``
+operand is certified on the omnibase with per-lane mass (the reference's
+model-mismatch axis, ``session4_sol.py:410-411``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpreter-mode kernels (full tier)
+
+from factory_oracle import certify_against_oracle
+
+from model_predictive_control_tpu.models.benchmarks import (
+    NU_OMNIBASE,
+    NX_OMNIBASE,
+    NX_QUADROTOR,
+    OMNIBASE_PARAMS,
+    QUADROTOR_PARAMS,
+    make_omnibase_param_ode_rows,
+    make_planar_quadrotor_ode_rows,
+)
+from model_predictive_control_tpu.ops.pallas.ilqr_factory import (
+    fused_tracker_solve,
+)
+
+N, TS, SUB, OUTER, INNER, TILE = 6, 0.1, 2, 6, 15, 8
+
+# quadrotor flies from the right to the origin; a keep-out disc sits on the
+# straight-line path so the clearance row must actually shape the solution
+OBS_X, OBS_Z, OBS_R = 0.55, -0.05, 0.3
+M, _, _, G = QUADROTOR_PARAMS
+U_MAX = 1.5 * M * G
+QUAD_LIMITS = ((0.0, 0.0), (U_MAX, U_MAX))
+QUAD_WEIGHTS = ((5.0, 5.0, 1.0, 0.5, 0.5, 0.1), (0.02, 0.02), 10.0)
+
+
+def quad_clearance_rows(xr, ur):
+    """One circle-clearance row (c = r² − ‖p − p_obs‖² ≤ 0), state-only."""
+    px, pz = xr[0], xr[1]
+    wx = px - OBS_X
+    wz = pz - OBS_Z
+    return (OBS_R * OBS_R - (wx * wx + wz * wz),)
+
+
+X0S = jnp.asarray(
+    [
+        [1.1, -0.1, 0.0, -0.3, 0.0, 0.0],  # straight line clips the disc
+        [1.3, 0.2, 0.1, 0.0, 0.0, 0.0],
+        [0.95, -0.35, 0.0, 0.0, 0.2, 0.0],
+    ],
+    jnp.float32,
+)
+
+
+def _solve(order):
+    return fused_tracker_solve(
+        X0S, jnp.zeros((3, N, 2), jnp.float32), None,
+        ode_rows=make_planar_quadrotor_ode_rows(QUADROTOR_PARAMS),
+        nx=NX_QUADROTOR, nu=2, N=N, ts=TS, substeps=SUB,
+        limits=QUAD_LIMITS, weights=QUAD_WEIGHTS,
+        extra_constraints=quad_clearance_rows, n_extra=1, extra_deps="x",
+        extra_order=order,
+        outer_iters=OUTER, inner_iters=INNER, viol_tol=1e-4, tile=TILE,
+    )
+
+
+def _min_clearance(xs):
+    # stages 0..N-1 only: AL rows run over the N stage knots (the terminal
+    # state is shaped by the cost, not constrained — same semantics as the
+    # hand parking kernel and the XLA oracle's cons(x, u, t))
+    p = np.asarray(xs)[:, :N, :2]
+    return np.sqrt(
+        ((p - np.array([OBS_X, OBS_Z])) ** 2).sum(-1)
+    ).min(axis=-1)
+
+
+def test_factory_obstacle_rows_match_oracle():
+    """Exact-curvature user rows (extra_order=2): the fused kernel solves the
+    obstacle OCP, keeps clearance, the constraint actually binds, and the
+    x64 oracle certifies the solution."""
+    sol = _solve(2)
+    assert bool(jnp.all(sol.converged))
+    assert float(jnp.max(sol.viol)) < 1e-4
+    dmin = _min_clearance(sol.xs)
+    assert (dmin >= OBS_R - 2e-3).all()  # keep-out respected
+    assert dmin.min() <= OBS_R + 5e-2  # ... and actually binding
+    certify_against_oracle(
+        make_planar_quadrotor_ode_rows(QUADROTOR_PARAMS), NX_QUADROTOR, 2,
+        X0S, None, QUAD_LIMITS, None, QUAD_WEIGHTS, sol,
+        N=N, ts=TS, substeps=SUB, outer_iters=OUTER, inner_iters=INNER,
+        atol=0.15,  # nonconvex clearance: the warm oracle slides ~0.09 in u
+        rel_cost_gap=1e-3,  # along the near-flat detour family; the 0.1%
+        extra_constraints=quad_clearance_rows, n_extra=1,  # cost gap is the
+    )  # sharp gate
+
+
+def test_factory_obstacle_rows_gauss_newton():
+    """Gauss-Newton user rows (extra_order=1, the ALTRO-style convexification)
+    converge to the same solution class: feasible, and cost-equivalent to the
+    exact-curvature solve (≤0.2%)."""
+    from factory_oracle import ocp_cost
+
+    sol1 = _solve(1)
+    sol2 = _solve(2)
+    assert bool(jnp.all(sol1.converged))
+    assert (_min_clearance(sol1.xs) >= OBS_R - 2e-3).all()
+    for i in range(X0S.shape[0]):
+        c1 = ocp_cost(
+            make_planar_quadrotor_ode_rows(QUADROTOR_PARAMS), NX_QUADROTOR,
+            2, np.asarray(sol1.us[i]), None, X0S[i], QUAD_WEIGHTS,
+            N=N, ts=TS, substeps=SUB,
+        )
+        c2 = ocp_cost(
+            make_planar_quadrotor_ode_rows(QUADROTOR_PARAMS), NX_QUADROTOR,
+            2, np.asarray(sol2.us[i]), None, X0S[i], QUAD_WEIGHTS,
+            N=N, ts=TS, substeps=SUB,
+        )
+        assert abs(c1 - c2) <= 2e-3 * (1.0 + abs(c2)), (i, c1, c2)
+
+
+def test_factory_per_scenario_params_match_oracle():
+    """params (B, 1) per-lane mass on the omnibase: one executable serves a
+    2.5× mass spread; heavier lanes demand visibly larger forces; the oracle
+    (solved per lane at its own mass) certifies every lane."""
+    ode_rows = make_omnibase_param_ode_rows(OMNIBASE_PARAMS)
+    limits = ((-12.0, -12.0, -3.0), (12.0, 12.0, 3.0))
+    weights = ((5.0, 5.0, 1.0, 0.5, 0.5, 0.1), (0.01, 0.01, 0.005), 10.0)
+    x0 = jnp.asarray([0.7, -0.5, 0.4, 0.0, 0.0, 0.0], jnp.float32)
+    x0s = jnp.stack([x0, x0, x0])
+    masses = jnp.asarray([[4.0], [8.0], [10.0]], jnp.float32)
+
+    sol = fused_tracker_solve(
+        x0s, jnp.zeros((3, N, NU_OMNIBASE), jnp.float32), None,
+        ode_rows=ode_rows, nx=NX_OMNIBASE, nu=NU_OMNIBASE, N=N, ts=TS,
+        substeps=SUB, limits=limits, weights=weights,
+        params=masses, n_params=1,
+        outer_iters=OUTER, inner_iters=INNER, viol_tol=1e-4, tile=TILE,
+    )
+    assert bool(jnp.all(sol.converged))
+    # same start, same OCP, different mass -> the per-lane parameter really
+    # reaches the dynamics: effort DECREASES with mass (a heavier base gets
+    # less acceleration per unit force, so the R penalty buys less tracking
+    # improvement and the optimizer backs off)
+    eff = np.abs(np.asarray(sol.us[:, 0, 0]))
+    assert eff[0] > eff[1] > eff[2], eff
+    certify_against_oracle(
+        ode_rows, NX_OMNIBASE, NU_OMNIBASE, x0s, None, limits, None,
+        weights, sol, N=N, ts=TS, substeps=SUB, outer_iters=OUTER,
+        inner_iters=INNER, atol=5e-2, rel_cost_gap=5e-4,
+        params=masses, n_params=1,
+    )
