@@ -88,6 +88,12 @@ def main(argv=None) -> int:
         "--solver", choices=("ilqr", "sqp"), default="ilqr",
         help="per-step optimizer; ilqr (AL-iLQR) is the throughput path",
     )
+    pw.add_argument(
+        "--backend", choices=("pallas", "factory", "xla"), default="pallas",
+        help="pallas = hand-specialized fused kernel; factory = the same "
+        "OCP compiled through the model-parametric factory (round 5); "
+        "xla = vmap reference path",
+    )
     pw.add_argument("--sqp-iters", type=int, default=15)
     pw.add_argument("--checkpoint", default=None)
     pw.add_argument("--checkpoint-every", type=int, default=0)
@@ -104,8 +110,11 @@ def main(argv=None) -> int:
     pr2.add_argument("--speed", type=float, default=0.35)
     pr2.add_argument("--rel-scale", type=float, default=0.1)
     pr2.add_argument(
-        "--backend", choices=("pallas", "xla"), default="pallas",
-        help="pallas = fused tracking kernel (TPU); xla = vmap reference path",
+        "--backend", choices=("pallas", "pallas-hand", "xla"),
+        default="pallas",
+        help="pallas = fused tracking via the model-parametric factory "
+        "(round 5); pallas-hand = the hand-specialized kernel's track mode "
+        "(A/B twin); xla = vmap reference path",
     )
     pr2.add_argument(
         "--dynamic", action="store_true",
@@ -123,6 +132,16 @@ def main(argv=None) -> int:
     pqs.add_argument("--batch", type=int, default=2048)
     pqs.add_argument("--steps", type=int, default=50)
     pqs.add_argument("--rel-scale", type=float, default=0.1)
+
+    pts = sub.add_parser(
+        "thrustersweep",
+        help="closed-loop 3-D thrust-cluster loiter tracking — the nu=4 "
+        "factory tier (round 5, unrolled-Cholesky Quu) under per-scenario "
+        "mass/drag mismatch",
+    )
+    pts.add_argument("--batch", type=int, default=2048)
+    pts.add_argument("--steps", type=int, default=50)
+    pts.add_argument("--rel-scale", type=float, default=0.1)
 
     pws = sub.add_parser(
         "windsweep",
@@ -395,6 +414,29 @@ def main(argv=None) -> int:
             args.batch * args.steps / t2.elapsed, 1
         )
         summary["wall_steady_s"] = round(t2.elapsed, 3)
+    elif args.cmd == "thrustersweep":
+        from .obs.metrics import Timer
+        from .parallel import make_mesh
+        from .parallel.batch import thruster_sweep
+
+        import jax
+
+        mesh = make_mesh(len(jax.devices()))
+        kw = dict(
+            batch=args.batch, steps=args.steps, rel_scale=args.rel_scale,
+            mesh=mesh,
+        )
+        with Timer() as t:
+            res, summary = thruster_sweep(**kw)
+            t.fence(res.states)
+        summary["wall_s"] = round(t.elapsed, 3)
+        with Timer() as t2:
+            res2, _ = thruster_sweep(key=jax.random.PRNGKey(1), **kw)
+            t2.fence(res2.states)
+        summary["solves_per_s"] = round(
+            args.batch * args.steps / t2.elapsed, 1
+        )
+        summary["wall_steady_s"] = round(t2.elapsed, 3)
     elif args.cmd == "windsweep":
         from .obs.metrics import Timer
         from .parallel import make_mesh
@@ -433,6 +475,7 @@ def main(argv=None) -> int:
                 rel_scale=args.rel_scale,
                 controller_knows=args.controller_knows,
                 solver=args.solver,
+                backend=args.backend,
                 sqp_iters=args.sqp_iters,
                 mesh=mesh,
                 checkpoint_path=args.checkpoint,
@@ -452,6 +495,7 @@ def main(argv=None) -> int:
                 rel_scale=args.rel_scale,
                 controller_knows=args.controller_knows,
                 solver=args.solver,
+                backend=args.backend,
                 sqp_iters=args.sqp_iters,
                 mesh=mesh,
             )

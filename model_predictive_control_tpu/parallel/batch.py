@@ -713,30 +713,54 @@ def racing_sweep(
     # static geometry/limits precompute — host-side numpy, must stay OUTSIDE
     # the jitted segment (inside a trace its constants become tracers and the
     # tuple-building np.asarray calls fail)
-    if backend == "pallas":
+    if backend in ("pallas", "pallas-hand"):
         from ..ops.pallas.ilqr_kernel import parking_geometry
 
         geom, _ = parking_geometry(base, None, n_circles=3)
-        limits = (
-            x_lb, x_ub,
+        u_lims = (
             (float(base.min_drive), -float(base.max_steer)),
             (float(base.max_drive), float(base.max_steer)),
         )
+        limits = (x_lb, x_ub) + u_lims
 
     def make_policy(ref_):
-        if backend == "pallas":
+        if backend in ("pallas", "pallas-hand"):
+            # Round 5: the kinematic tracking tier rides the model-parametric
+            # FACTORY (same row-form bicycle ODE + per-scenario params the
+            # parking instantiation uses) — retiring the duplicate tracking
+            # path that lived only in the hand kernel (VERDICT r4 item 2b).
+            # backend="pallas-hand" keeps the hand kernel's track mode
+            # callable for A/B measurement (it remains the wind/offset-free
+            # tiers' engine, which need its dist/uref operands).
+            from ..ops.pallas.ilqr_factory import fused_tracker_solve
             from ..ops.pallas.ilqr_kernel import al_ilqr_solve_pallas
+            from ..ops.pallas.parking_factory import make_parking_ode_rows
+
+            kb, lr = float(geom[0]), float(geom[1])
+            ode_rows = make_parking_ode_rows(kb, lr)
 
             def solve_local(x_batch, warm, refs_b, accv, fricv):
                 B = x_batch.shape[0]
                 tile_eff = min(tile, ((B + 127) // 128) * 128)
-                sol = al_ilqr_solve_pallas(
-                    x_batch, warm.reshape(B, N, NU), accv, fricv, refs_b,
-                    N=N, ts=float(ts), geom=geom, limits=limits,
-                    weights=weights, n_circles=0,
-                    outer_iters=outer_iters, inner_iters=inner_iters,
-                    viol_tol=1e-4, tile=tile_eff,
-                )
+                if backend == "pallas-hand":
+                    sol = al_ilqr_solve_pallas(
+                        x_batch, warm.reshape(B, N, NU), accv, fricv, refs_b,
+                        N=N, ts=float(ts), geom=geom, limits=limits,
+                        weights=weights, n_circles=0,
+                        outer_iters=outer_iters, inner_iters=inner_iters,
+                        viol_tol=1e-4, tile=tile_eff,
+                    )
+                else:
+                    sol = fused_tracker_solve(
+                        x_batch, warm.reshape(B, N, NU), refs_b,
+                        ode_rows=ode_rows, nx=4, nu=NU, N=N, ts=float(ts),
+                        substeps=1, integrator="euler",
+                        limits=u_lims, state_limits=(x_lb, x_ub),
+                        weights=weights,
+                        params=jnp.stack([accv, fricv], axis=-1), n_params=2,
+                        outer_iters=outer_iters, inner_iters=inner_iters,
+                        viol_tol=1e-4, tile=tile_eff,
+                    )
                 u_next = jnp.concatenate(
                     [sol.us[:, 1:], sol.us[:, -1:]], axis=1
                 )
@@ -1523,6 +1547,184 @@ def quadrotor_sweep(
         "batch": int(batch),
         "steps": int(steps),
         "model": "planar-quadrotor",
+        "success_rate": float(
+            jnp.mean(res.logs["solver_success"].astype(jnp.float32))
+        ),
+        "mean_tracking_error": float(jnp.mean(tail)),
+        "p95_tracking_error": float(jnp.percentile(tail, 95.0)),
+        "rel_scale": float(rel_scale),
+    }
+    return res, summary
+
+
+def thruster_sweep(
+    batch: int,
+    steps: int,
+    key=None,
+    N: int = 10,
+    ts: float = 0.1,
+    radius: float = 1.0,
+    period: float = 12.0,
+    rel_scale: float = 0.1,
+    outer_iters: int = 4,
+    inner_iters: int = 10,
+    plant_substeps: int = 8,
+    pred_substeps: int = 2,
+    tile: int = 512,
+    mesh=None,
+    dtype=jnp.float32,
+) -> tuple[BatchSimResult, dict]:
+    """Closed-loop 3-D thrust-cluster loiter tracking — the **nu = 4** tier
+    (round 5, VERDICT r4 item 3): the factory's unrolled-Cholesky Quu path
+    at contract scale.
+
+    The model (``models/benchmarks.py::make_thruster_ode_rows``) is a 3-D
+    point mass under gravity driven by four REDUNDANT pyramid thrusters
+    (rank-3 input map — the 4×4 Quu is positive definite only through R,
+    the stress case the closed-form nu ≤ 2 inverses cannot express), plus
+    quadratic drag. Reference: a lateral loiter circle at constant height,
+    entered from perturbed offsets; plants perturb (mass, c₁, c₂) ×
+    ``U[1 ± rel_scale]`` while the controller keeps the nominal model
+    (exercise-5 semantics, ``session4_sol.py:443-488``).
+    """
+    from ..models.benchmarks import (
+        NU_THRUSTER,
+        NX_THRUSTER,
+        THRUSTER_PARAMS,
+        make_thruster_ode_rows,
+    )
+    from ..ops.pallas.ilqr_factory import make_fused_tracker
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_par, k_x0 = jax.random.split(key)
+    nx, nu = NX_THRUSTER, NU_THRUSTER
+    m0, grav, c1_0, c2_0, cone = THRUSTER_PARAMS
+    u_max = 6.0
+
+    def _build_ref():
+        t_tab = jnp.arange(steps + N + 1, dtype=dtype) * ts
+        om_ref = 2.0 * jnp.pi / period
+        px_r = radius * jnp.sin(om_ref * t_tab)
+        py_r = radius * (1.0 - jnp.cos(om_ref * t_tab))
+        vx_r = radius * om_ref * jnp.cos(om_ref * t_tab)
+        vy_r = radius * om_ref * jnp.sin(om_ref * t_tab)
+        zero = jnp.zeros_like(t_tab)
+        return jnp.stack([px_r, py_r, zero, vx_r, vy_r, zero], axis=-1)
+
+    ref = _setup_cached(
+        ("thruster-ref", steps + N + 1, float(radius), float(period),
+         float(ts), jnp.dtype(dtype).name),
+        _build_ref,
+    )
+
+    factors = 1.0 + rel_scale * jax.random.uniform(
+        k_par, (batch, 3), minval=-1.0, maxval=1.0, dtype=dtype
+    )
+    plant_params = (
+        m0 * factors[:, 0], c1_0 * factors[:, 1], c2_0 * factors[:, 2]
+    )
+    noise = jax.random.uniform(
+        k_x0, (batch, nx), minval=-1.0, maxval=1.0, dtype=dtype
+    ) * jnp.asarray([0.15, 0.15, 0.15, 0.1, 0.1, 0.1], dtype)
+    x0s = ref[0] + noise
+
+    solve_step = make_fused_tracker(
+        make_thruster_ode_rows(THRUSTER_PARAMS), nx, nu,
+        N=N, ts=float(ts), substeps=pred_substeps,
+        limits=((0.0,) * nu, (u_max,) * nu),
+        weights=((5.0, 5.0, 5.0, 0.5, 0.5, 0.5), (0.02,) * nu, 10.0),
+        outer_iters=outer_iters, inner_iters=inner_iters,
+        viol_tol=1e-4, tile=min(tile, ((batch + 127) // 128) * 128),
+    )
+
+    def solve_local(x_batch, warm, refs_b):
+        B = x_batch.shape[0]
+        sol = solve_step(x_batch, warm.reshape(B, N, nu), refs_b)
+        u_next = jnp.concatenate([sol.us[:, 1:], sol.us[:, -1:]], axis=1)
+        return sol.us[:, 0], u_next.reshape(B, N * nu), sol.converged, sol.viol
+
+    solve = solve_local
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from .mesh import DATA_AXIS
+
+        spec = P(DATA_AXIS)
+        solve = jax.shard_map(
+            solve_local, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, spec, spec), check_vma=False,
+        )
+
+    def policy(x_batch, t, carry):
+        B = x_batch.shape[0]
+        window = jax.lax.dynamic_slice_in_dim(ref, t, N + 1, axis=0)
+        refs_b = jnp.broadcast_to(window[None], (B, N + 1, nx))
+        u0, warm, conv, viol = solve(x_batch, carry, refs_b)
+        aux = {
+            "solver_success": conv,
+            "viol": viol,
+            "tracking_error": jnp.linalg.norm(
+                x_batch[:, :2] - window[0][:2], axis=-1
+            ),
+        }
+        return u0, warm, aux
+
+    # per-scenario plant: same thruster family, perturbed (mass, c1, c2)
+    import math
+
+    sa, ca = math.sin(cone), math.cos(cone)
+    dirs = jnp.asarray(
+        [(sa, 0.0, ca), (0.0, sa, ca), (-sa, 0.0, ca), (0.0, -sa, ca)],
+        dtype,
+    )
+
+    def thr_ode(m, c1, c2, x, u):
+        v = x[3:]
+        sp = jnp.sqrt(jnp.sum(v * v) + 1e-9)
+        f = (u @ dirs) / m - jnp.asarray([0.0, 0.0, grav], dtype)
+        return jnp.concatenate([v, f - c1 * v - c2 * sp * v])
+
+    def plant_step(m, c1, c2, x, u):
+        f = lambda xx, uu: thr_ode(m, c1, c2, xx, uu)
+        return rk4_fine(f, ts, substeps=plant_substeps)(x, u)
+
+    plant_b = jax.vmap(plant_step, in_axes=(0, 0, 0, 0, 0))
+
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        x0s = jax.device_put(x0s, sh)
+        plant_params = jax.tree.map(lambda l: jax.device_put(l, sh), plant_params)
+
+    cfg = ("thruster", N, float(ts), steps, float(radius), float(period),
+           outer_iters, inner_iters, plant_substeps, pred_substeps,
+           min(tile, ((batch + 127) // 128) * 128),
+           mesh, jnp.dtype(dtype).name)
+    seg = _SEGMENT_CACHE.get(cfg)
+    if seg is None:
+        def seg_fn(x0s_, plant_params_, carry_):
+            plant = lambda x, u: plant_b(*plant_params_, x, u)
+            return simulate_batch(
+                x0s_, plant, steps, policy, carry_, batched_dynamics=True
+            )
+
+        seg = jax.jit(seg_fn)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[cfg] = seg
+
+    # hover: the four symmetric thrusts that cancel gravity
+    hover = m0 * grav / (4.0 * ca)
+    carry0 = jnp.tile(
+        jnp.full((nu,), hover, dtype), (batch, N)
+    ).reshape(batch, N * nu)
+    res = seg(x0s, plant_params, carry0)
+
+    err = res.logs["tracking_error"]
+    tail = err[steps // 4 :]
+    summary = {
+        "batch": int(batch),
+        "steps": int(steps),
+        "model": "thrust-cluster-nu4",
         "success_rate": float(
             jnp.mean(res.logs["solver_success"].astype(jnp.float32))
         ),

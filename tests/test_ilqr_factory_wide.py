@@ -116,6 +116,24 @@ def test_factory_thruster_nu4_matches_oracle():
     )  # near-identical cost; the 0.05% cost gap is the sharp gate
 
 
+def test_thruster_sweep_closed_loop():
+    """The nu=4 tier's gated workload (thruster_sweep) at toy size on the
+    interpreter: the loop runs, steady-state solves converge, and the loiter
+    is tracked under (mass, drag) plant mismatch."""
+    from model_predictive_control_tpu.parallel.batch import thruster_sweep
+
+    res, s = thruster_sweep(
+        4, 6, key=jax.random.PRNGKey(0), N=4, pred_substeps=1,
+        plant_substeps=4, outer_iters=3, inner_iters=6, tile=8,
+    )
+    assert s["model"] == "thrust-cluster-nu4"
+    succ = np.asarray(res.logs["solver_success"])
+    assert succ[2:].all()
+    err = np.asarray(res.logs["tracking_error"])
+    assert err[-1].mean() < 0.1
+    assert np.isfinite(np.asarray(res.states)).all()
+
+
 def test_regulation_equals_zero_reference_tracking():
     """refs=None (regulation mode, no ref buffer in VMEM) must reproduce the
     already-certified tracking path with an all-zero reference."""

@@ -45,6 +45,27 @@ def seg_sweep():
     return _steady(lambda k: parking_sweep(B, S, key=k), B * S)
 
 
+def seg_sweep_factory():
+    # the parking OCP compiled through the model-parametric factory (round 5)
+    # at its shipped budget (BENCH_CONTRACT.json::sweep_factory::config)
+    from model_predictive_control_tpu.parallel.batch import parking_sweep
+
+    B, S = 2048, 50
+    return _steady(
+        lambda k: parking_sweep(
+            B, S, key=k, backend="factory", inner_iters=14
+        ),
+        B * S,
+    )
+
+
+def seg_thruster_sweep():
+    from model_predictive_control_tpu.parallel.batch import thruster_sweep
+
+    B, S = 2048, 50
+    return _steady(lambda k: thruster_sweep(B, S, key=k), B * S)
+
+
 def seg_tube_sweep():
     from model_predictive_control_tpu.parallel.batch import tube_sweep
 
@@ -242,6 +263,8 @@ def seg_mhe_batch_nl():
 
 SEGMENTS = {
     "sweep": seg_sweep,
+    "sweep_factory": seg_sweep_factory,
+    "thruster_sweep": seg_thruster_sweep,
     "tube_sweep": seg_tube_sweep,
     "stochastic_sweep": seg_stochastic_sweep,
     "racing_sweep": seg_racing_sweep,
