@@ -232,6 +232,7 @@ def _tracker_tile_kernel(
     extra_deps: str,  # "x" | "xu": which variables the extra rows touch
     extra_order: int,  # 1 = Gauss-Newton AL Hessian, 2 = + exact act·∂²c
     n_params: int,
+    runtime_weights: bool,
     jac_pattern: tuple,  # (A_pat, B_pat) structural step-Jacobian sparsity
     outer_iters: int,
     inner_iters: int,
@@ -254,6 +255,10 @@ def _tracker_tile_kernel(
         par_ref, *rest = rest
     else:
         par_ref = None
+    if runtime_weights:
+        w_ref, *rest = rest  # (nx + nu + 1, T): [Qd rows, Rd rows, qn]
+    else:
+        w_ref = None
     if has_lam:
         lam0_ref, *rest = rest
     else:
@@ -266,7 +271,18 @@ def _tracker_tile_kernel(
     T = x0_ref.shape[-1]
     NZ = nx + nu  # jvp basis-pack width
     LBU, UBU = limits
-    QD, RD, QN = weights
+    if runtime_weights:
+        # cost weights as PER-SCENARIO (1, T) rows instead of compile-time
+        # constants (round 5): every QD/RD/QN use below broadcasts against
+        # (1, T)/(A, T)/(NZ, T) operands unchanged, so the same kernel body
+        # serves traced weights — one executable across a whole Adam tuning
+        # run (solvers/implicit.py fused forward) instead of a recompile per
+        # weight update
+        QD = tuple(w_ref[i : i + 1] for i in range(nx))
+        RD = tuple(w_ref[nx + j : nx + j + 1] for j in range(nu))
+        QN = w_ref[nx + nu : nx + nu + 1]
+    else:
+        QD, RD, QN = weights
 
     # per-scenario parameter rows ((1, T), broadcast over alpha/jvp packs);
     # closed over by the dynamics and extra-constraint calls — they are
@@ -1070,7 +1086,8 @@ def fused_tracker_solve(
     ts: float,
     substeps: int,
     limits: tuple,  # (lb_u(nu), ub_u(nu))
-    weights: tuple,  # (Qd(nx), Rd(nu), qn)
+    weights: tuple | None = None,  # (Qd(nx), Rd(nu), qn) — static path
+    weights_rt: jnp.ndarray | None = None,  # (B, nx+nu+1) traced weights
     state_limits: tuple | None = None,  # (lb_x(nx), ub_x(nx))
     integrator: str = "rk4",  # "rk4" (rk4_fine) | "euler" (reference parking)
     extra_constraints=None,  # callable (xr, ur[, pr]) -> n_extra rows, c <= 0
@@ -1126,10 +1143,13 @@ def fused_tracker_solve(
         )
     if params is not None and n_params != params.shape[-1]:
         raise ValueError("params.shape[-1] must equal n_params")
+    if (weights is None) == (weights_rt is None):
+        raise ValueError("pass exactly one of weights / weights_rt")
     f32 = jnp.float32
     B = x0s.shape[0]
     track = refs is not None
     has_lam = lam_init is not None
+    runtime_weights = weights_rt is not None
     nc = (
         2 * nu
         + (2 * nx if state_limits is not None else 0)
@@ -1159,6 +1179,11 @@ def fused_tracker_solve(
     if n_params:
         operands.append(lanes(params, (1, 0)))  # (n_params, B)
         in_specs_extra.append(spec2(n_params))
+    if runtime_weights:
+        if weights_rt.shape[-1] != nx + nu + 1:
+            raise ValueError("weights_rt must be (B, nx + nu + 1)")
+        operands.append(lanes(weights_rt, (1, 0)))  # (nx+nu+1, B)
+        in_specs_extra.append(spec2(nx + nu + 1))
     if has_lam:
         operands.append(lanes(lam_init, (1, 2, 0)))  # (N, nc, B)
         in_specs_extra.append(spec3(N, nc))
@@ -1181,6 +1206,7 @@ def fused_tracker_solve(
         extra_deps=extra_deps,
         extra_order=extra_order,
         n_params=n_params,
+        runtime_weights=runtime_weights,
         jac_pattern=step_jacobian_pattern(ode_rows, nx, nu, n_params),
         outer_iters=outer_iters,
         inner_iters=inner_iters,

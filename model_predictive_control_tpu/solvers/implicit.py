@@ -343,7 +343,7 @@ def make_implicit_stagewise_solver(
 
 
 def make_implicit_al_ilqr_solver(
-    prob, constraints, n_constraints: int, **solver_kwargs
+    prob, constraints, n_constraints: int, forward=None, **solver_kwargs
 ):
     """Implicit-diff wrapper around :func:`..solvers.ilqr.al_ilqr_solve`.
 
@@ -360,6 +360,15 @@ def make_implicit_al_ilqr_solver(
     Lagrangian Hessian, second derivatives THROUGH the rollout scan) comes
     from ``jacfwd`` of the residual. Gradient accuracy is bounded by the AL
     convergence tolerance (``viol_tol``), not by the wrapper.
+
+    ``forward`` (round 5, VERDICT r4 item 5): optional replacement forward
+    solve ``forward(x0, u_init) -> ALILQRSolution`` — e.g. a FUSED kernel /
+    factory step solving the identical OCP, possibly over a BATCH (x0
+    ``(B, nx)``, batched solution leaves). The KKT backward only consumes the
+    converged ``(us, lams)``, so any forward that lands on the same
+    stationary points yields the same gradients; with a batched forward the
+    backward vmaps the per-scenario KKT solve. The multipliers must be in
+    the SAME row order as ``constraints``.
 
     Differentiates w.r.t. ``x0`` only (the closures bake everything else in).
     For gradients w.r.t. cost weights / vehicle parameters use
@@ -387,28 +396,26 @@ def make_implicit_al_ilqr_solver(
         comp = jnp.where(active, cs, lam)
         return jnp.concatenate([stat, comp.ravel()])
 
-    @jax.custom_vjp
-    def _solve(x0, u_init):
+    def _fwd(x0, u_init):
+        if forward is not None:
+            return forward(x0, u_init)
         return al_ilqr_solve(
             prob, constraints, n_constraints, x0, u_init=u_init, **solver_kwargs
         )
 
+    @jax.custom_vjp
+    def _solve(x0, u_init):
+        return _fwd(x0, u_init)
+
     def solve_fwd(x0, u_init):
-        sol = al_ilqr_solve(
-            prob, constraints, n_constraints, x0, u_init=u_init, **solver_kwargs
-        )
+        sol = _fwd(x0, u_init)
         return sol, (x0, u_init, sol)
 
-    # The body is jitted: its jacfwd-of-grad through the rollout scan is only
-    # robust as a traced/compiled computation — run eagerly inside an outer
-    # backward pass it trips low-level transpose machinery (observed hard
-    # abort in eager `_slice_transpose_fancy` on CPU).
-    @jax.jit
-    @solver_precision
-    def solve_bwd(saved, ct: "ALILQRSolution"):
-        x0, u_init, sol = saved
-        U = sol.us.ravel()
-        lam = sol.lams
+    def _bwd_one(x0, sol_us, sol_lams, ct_us, ct_xs, ct_cost, ct_lams):
+        """Per-scenario KKT backward: cotangent of x0 given the converged
+        (ū, λ) and the (us, xs, cost, lams) output cotangents."""
+        U = sol_us.ravel()
+        lam = sol_lams
         tol = 1e-6 * jnp.maximum(jnp.max(lam), 1.0)
         active = lam > tol
 
@@ -424,9 +431,9 @@ def make_implicit_al_ilqr_solver(
             return xs, _total_cost(prob, xs, us)
 
         _, pull = jax.vjp(outs, x0, U)
-        gx0_direct, gU_extra = pull((ct.xs, ct.cost))
-        gU = ct.us.ravel() + gU_extra
-        g = jnp.concatenate([gU, ct.lams.ravel()])
+        gx0_direct, gU_extra = pull((ct_xs, ct_cost))
+        gU = ct_us.ravel() + gU_extra
+        g = jnp.concatenate([gU, ct_lams.ravel()])
 
         v = jnp.linalg.solve(K.T, g)
         v = v + jnp.linalg.solve(K.T, g - K.T @ v)
@@ -434,7 +441,21 @@ def make_implicit_al_ilqr_solver(
         (x0_bar,) = pull_p(v)
         x0_bar = gx0_direct - x0_bar
         finite = jnp.all(jnp.isfinite(v))
-        x0_bar = jnp.where(finite, x0_bar, jnp.zeros_like(x0_bar))
+        return jnp.where(finite, x0_bar, jnp.zeros_like(x0_bar))
+
+    # The body is jitted: its jacfwd-of-grad through the rollout scan is only
+    # robust as a traced/compiled computation — run eagerly inside an outer
+    # backward pass it trips low-level transpose machinery (observed hard
+    # abort in eager `_slice_transpose_fancy` on CPU).
+    @jax.jit
+    @solver_precision
+    def solve_bwd(saved, ct: "ALILQRSolution"):
+        x0, u_init, sol = saved
+        args = (x0, sol.us, sol.lams, ct.us, ct.xs, ct.cost, ct.lams)
+        if jnp.ndim(x0) == 2:  # batched (fused) forward
+            x0_bar = jax.vmap(_bwd_one)(*args)
+        else:
+            x0_bar = _bwd_one(*args)
         # u_init only selects the basin for the (non-differentiated) forward
         # solve; at the KKT point the solution has zero sensitivity to it
         return (x0_bar, jnp.zeros_like(u_init))
@@ -443,14 +464,17 @@ def make_implicit_al_ilqr_solver(
 
     def solve(x0, u_init=None):
         if u_init is None:
-            u_init = jnp.zeros((N, nu), dtype=jnp.asarray(x0).dtype)
+            shape = (
+                (x0.shape[0], N, nu) if jnp.ndim(x0) == 2 else (N, nu)
+            )
+            u_init = jnp.zeros(shape, dtype=jnp.asarray(x0).dtype)
         return _solve(x0, u_init)
 
     return solve
 
 
 def make_implicit_al_ilqr_param_solver(
-    problem_fn, n_constraints: int, **solver_kwargs
+    problem_fn, n_constraints: int, forward=None, **solver_kwargs
 ):
     """Parameter-differentiable AL-iLQR (lifts the x0-only limitation).
 
@@ -468,6 +492,14 @@ def make_implicit_al_ilqr_param_solver(
     outputs ``(xs, cost)`` through dynamics/cost. This is what makes
     ``tune_mpc_weights``-style gradient tuning reach the nonlinear
     parking/racing tier (VERDICT r2 item 6).
+
+    ``forward`` (round 5, VERDICT r4 item 5): optional replacement forward
+    ``forward(theta, x0, u_init) -> ALILQRSolution`` — the FUSED kernel /
+    factory step on the identical OCP (runtime-weights mode keeps one
+    executable across all theta), possibly BATCHED (x0 ``(B, nx)``). The KKT
+    backward consumes only the converged ``(us, lams)`` (multipliers in the
+    ``problem_fn`` constraints' row order) and vmaps per scenario, summing
+    ``theta_bar`` over the batch.
     """
     from .ilqr import ALILQRSolution, _rollout, _total_cost, al_ilqr_solve
 
@@ -497,28 +529,28 @@ def make_implicit_al_ilqr_param_solver(
         comp = jnp.where(active, cs, lam)
         return jnp.concatenate([stat, comp.ravel()])
 
-    @jax.custom_vjp
-    def _solve(theta, x0, u_init):
+    def _fwd(theta, x0, u_init):
+        if forward is not None:
+            return forward(theta, x0, u_init)
         prob, constraints = _pieces(theta)
         return al_ilqr_solve(
             prob, constraints, n_constraints, x0, u_init=u_init,
             **solver_kwargs,
         )
 
+    @jax.custom_vjp
+    def _solve(theta, x0, u_init):
+        return _fwd(theta, x0, u_init)
+
     def solve_fwd(theta, x0, u_init):
-        sol = _solve(theta, x0, u_init)
+        sol = _fwd(theta, x0, u_init)
         return sol, (theta, x0, u_init, sol)
 
-    # jitted for the same reason as the x0-only wrapper: the jacfwd-of-grad
-    # through the rollout scan must run as a compiled computation
-    @jax.jit
-    @solver_precision
-    def solve_bwd(saved, ct: "ALILQRSolution"):
-        theta, x0, u_init, sol = saved
+    def _bwd_one(theta, x0, sol_us, sol_lams, ct_us, ct_xs, ct_cost, ct_lams):
         prob, _ = _pieces(theta)
         N, nu = prob.N, prob.nu
-        U = sol.us.ravel()
-        lam = sol.lams
+        U = sol_us.ravel()
+        lam = sol_lams
         tol = 1e-6 * jnp.maximum(jnp.max(lam), 1.0)
         active = lam > tol
 
@@ -534,9 +566,9 @@ def make_implicit_al_ilqr_param_solver(
             return xs, _total_cost(prob_, xs, us)
 
         _, pull = jax.vjp(outs, theta, x0, U)
-        gtheta_direct, gx0_direct, gU_extra = pull((ct.xs, ct.cost))
-        gU = ct.us.ravel() + gU_extra
-        g = jnp.concatenate([gU, ct.lams.ravel()])
+        gtheta_direct, gx0_direct, gU_extra = pull((ct_xs, ct_cost))
+        gU = ct_us.ravel() + gU_extra
+        g = jnp.concatenate([gU, ct_lams.ravel()])
 
         v = jnp.linalg.solve(K.T, g)
         v = v + jnp.linalg.solve(K.T, g - K.T @ v)
@@ -553,6 +585,24 @@ def make_implicit_al_ilqr_param_solver(
         theta_bar = jax.tree.map(
             lambda a: jnp.where(finite, a, jnp.zeros_like(a)), theta_bar
         )
+        return theta_bar, x0_bar
+
+    # jitted for the same reason as the x0-only wrapper: the jacfwd-of-grad
+    # through the rollout scan must run as a compiled computation
+    @jax.jit
+    @solver_precision
+    def solve_bwd(saved, ct: "ALILQRSolution"):
+        theta, x0, u_init, sol = saved
+        args = (x0, sol.us, sol.lams, ct.us, ct.xs, ct.cost, ct.lams)
+        if jnp.ndim(x0) == 2:  # batched (fused) forward
+            theta_bars, x0_bar = jax.vmap(
+                _bwd_one, in_axes=(None,) + (0,) * 7
+            )(theta, *args)
+            theta_bar = jax.tree.map(
+                lambda a: jnp.sum(a, axis=0), theta_bars
+            )
+        else:
+            theta_bar, x0_bar = _bwd_one(theta, *args)
         return (theta_bar, x0_bar, jnp.zeros_like(u_init))
 
     _solve.defvjp(solve_fwd, solve_bwd)
@@ -560,9 +610,12 @@ def make_implicit_al_ilqr_param_solver(
     def solve(theta, x0, u_init=None):
         if u_init is None:
             prob, _ = _pieces(theta)
-            u_init = jnp.zeros(
-                (prob.N, prob.nu), dtype=jnp.asarray(x0).dtype
+            shape = (
+                (x0.shape[0], prob.N, prob.nu)
+                if jnp.ndim(x0) == 2
+                else (prob.N, prob.nu)
             )
+            u_init = jnp.zeros(shape, dtype=jnp.asarray(x0).dtype)
         return _solve(theta, x0, u_init)
 
     return solve
