@@ -211,14 +211,143 @@ class NonlinearMHE:
         ``ys (B, M+1, ny)`` → ``(x̂_M (B, nx), X (B, M+1, nx),
         ŵ (B, M, nx))`` — one ``vmap`` over :meth:`solve` (every inner piece
         is traced linalg: the GN Jacobians, the PDIP bounded steps, the
-        rollout scans all batch; the round-4 recorded nonlinear-MHE
-        throughput segment drives this path). ``P0s``: optional per-window
-        arrival covariances ``(B, nx, nx)``."""
+        rollout scans all batch). ``P0s``: optional per-window arrival
+        covariances ``(B, nx, nx)``. For the throughput path see
+        :meth:`solve_batch_fused` (round 5)."""
         if P0s is None:
             return jax.vmap(lambda xb, u, y: self.solve(xb, u, y))(
                 xbars, us, ys
             )
         return jax.vmap(self.solve)(xbars, us, ys, P0s)
+
+    def solve_batch_fused(
+        self, xbars, us, ys, *,
+        ode_rows, ts: float, obs_indices: tuple,
+        integrator: str = "rk4", substeps: int = 1,
+        outer_iters: int = 4, inner_iters: int = 8,
+        viol_tol: float = 1e-4, tile: int = 512, interpret=None,
+    ):
+        """Batched bounded MHE windows on the FUSED AL-iLQR factory kernel
+        (round 5, VERDICT r4 item 6 — closes the 100× gap to the linear
+        tier: the GN outer loop + inner box-QP become one VMEM-resident
+        solve per lane).
+
+        The window NLP maps onto the factory's OCP shape exactly:
+
+        - **decision inputs = process noises** (nu = nx) entering ADDITIVELY
+          after integration (``input_mode="additive"``, B = I) — the
+          discrete model is bit-for-bit ``step_fn(x, u) + w``;
+        - the recorded plant inputs ride the per-stage **exo** operand,
+          gated by γ ∈ {0, 1}: the ODE is γ·f(x, u), so the PREPENDED
+          virtual stage (γ = 0) is the identity map ``x₁ = x̄ + δx₀`` whose
+          input δx₀ carries the ARRIVAL cost via per-stage input weights
+          (P₀⁻¹ at stage 0, Q_w⁻¹ after — the ``input_weights_rt``
+          operand);
+        - measurements are the tracking reference: knot k ≥ 1 holds
+          y_{k−1} in the measured components with Qd = R_v⁻¹ there and 0
+          elsewhere (**component-selector observations** — ``obs_indices``
+          maps measurement j to state component obs_indices[j]);
+        - the state box applies at every knot including x_M via the
+          factory's ``terminal_state_limits`` rows.
+
+        Requirements: DIAGONAL ``Qw``/``Rv``/``P0`` (frozen — the
+        arrival-propagation mode stays on the XLA path), selector ``obs_fn``
+        consistent with ``obs_indices``, and ``x̄`` inside the state box
+        (the fixed knot-0 rows otherwise flag a spurious violation).
+        ``ode_rows``: the CONTINUOUS row-form ODE whose
+        ``integrator``/``substeps``/``ts`` discretization equals this
+        estimator's ``step_fn``.
+
+        Returns the :meth:`solve_batch` tuple ``(x̂_M, X, ŵ)`` plus the
+        kernel's converged mask: ``(x̂_M, X, ŵ, converged)``.
+        """
+        import numpy as np
+
+        from .ops.pallas.ilqr_factory import fused_tracker_solve
+
+        nx, M = self.nx, self.M
+        for name, S in (("Qw", self.Qw), ("Rv", self.Rv), ("P0", self.P0)):
+            off = np.asarray(S) - np.diag(np.diag(np.asarray(S)))
+            if np.abs(off).max() > 1e-12:
+                raise ValueError(
+                    f"solve_batch_fused requires diagonal {name}"
+                )
+        f32 = jnp.float32
+        B = xbars.shape[0]
+        nu_m = us.shape[-1]
+        N_ocp = M + 1
+
+        # host-side numpy on the CONCRETE covariance constants (inside a jit
+        # trace even constant-operand jnp ops are staged, so float() on them
+        # would see tracers)
+        qw_inv = jnp.asarray(1.0 / np.diag(np.asarray(self.Qw)), f32)
+        p0_inv = jnp.asarray(1.0 / np.diag(np.asarray(self.P0)), f32)
+        rv_inv_np = 1.0 / np.diag(np.asarray(self.Rv))
+        qd = np.zeros(nx, np.float32)
+        for j, idx in enumerate(obs_indices):
+            qd[idx] = float(rv_inv_np[j])
+
+        # per-stage input weights: arrival P0^-1 at the virtual stage, Qw^-1
+        # after (this is what the factory's input_weights_rt operand exists
+        # for)
+        rw = jnp.concatenate(
+            [
+                jnp.broadcast_to(p0_inv[None, None], (B, 1, nx)),
+                jnp.broadcast_to(qw_inv[None, None], (B, M, nx)),
+            ],
+            axis=1,
+        )
+        # exo: (γ, u_model) per stage; γ=0 makes stage 0 the identity map
+        exo = jnp.concatenate(
+            [
+                jnp.zeros((B, 1, 1 + nu_m), f32),
+                jnp.concatenate(
+                    [jnp.ones((B, M, 1), f32), us.astype(f32)], axis=-1
+                ),
+            ],
+            axis=1,
+        )
+        # measurements as the tracking reference (knot 0 = x̄, constant)
+        refs = jnp.zeros((B, N_ocp + 1, nx), f32)
+        refs = refs.at[:, 0].set(xbars.astype(f32))
+        for j, idx in enumerate(obs_indices):
+            refs = refs.at[:, 1:, idx].set(ys[..., j].astype(f32))
+
+        big = 1e9
+        if self.x_min is not None or self.x_max is not None:
+            lb = (
+                tuple(float(v) for v in np.asarray(self.x_min))
+                if self.x_min is not None else (-big,) * nx
+            )
+            ub = (
+                tuple(float(v) for v in np.asarray(self.x_max))
+                if self.x_max is not None else (big,) * nx
+            )
+            state_limits = (lb, ub)
+            terminal_limits = (lb, ub)
+        else:
+            state_limits = None
+            terminal_limits = None
+
+        sol = fused_tracker_solve(
+            xbars.astype(f32),
+            jnp.zeros((B, N_ocp, nx), f32),
+            refs,
+            ode_rows=_gated_ode_rows(ode_rows, nu_m),
+            nx=nx, nu=nx, N=N_ocp, ts=float(ts), substeps=substeps,
+            integrator=integrator,
+            limits=None,  # process noises are unbounded — no u-box rows
+            weights=(tuple(float(v) for v in qd), (0.0,) * nx, 1.0),
+            state_limits=state_limits,
+            terminal_state_limits=terminal_limits,
+            input_mode="additive", exo=exo, n_exo=1 + nu_m,
+            input_weights_rt=rw,
+            outer_iters=outer_iters, inner_iters=inner_iters,
+            viol_tol=viol_tol, tile=tile, interpret=interpret,
+        )
+        X = sol.xs[:, 1:]  # knots 1..M+1 = x₀..x_M
+        w = sol.us[:, 1:]  # stages 1..M = process noises
+        return X[:, -1], X, w, sol.converged
 
     # -- receding-horizon trajectory ---------------------------------------
 
@@ -271,6 +400,24 @@ class NonlinearMHE:
             win, (jnp.asarray(xbar0), self.P0), jnp.arange(T - M + 1)
         )
         return x_ends
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def _gated_ode_rows(ode_rows, nu_m: int):
+    """γ-gated row-form ODE for the fused MHE window: exo = (γ, u_model),
+    ẋ = γ·f(x, u). RK4/Euler of γ·f is exactly the identity map at γ = 0
+    (the virtual arrival stage) and exactly the model step at γ = 1. Cached
+    on the user ODE's identity so the returned closure is a stable jit key."""
+
+    def gated(xr, er):
+        gam = er[0]
+        um = tuple(er[1 + j] for j in range(nu_m))
+        return tuple(gam * r for r in ode_rows(xr, um))
+
+    return gated
 
 
 def _sqrt_inv(S):

@@ -66,6 +66,34 @@ def kinematic_bicycle_ode(
     return jnp.stack([px_dot, py_dot, psi_dot, v_dot], axis=-1)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def make_kinematic_ode_rows(kb: float, lr: float, acc: float, fric: float):
+    """Row-form kinematic-bicycle ODE with STATIC parameters, for the fused
+    factory kernels (``kb = l_r/(l_f+l_r)``; β via sinβ = kb·tanδ/√(1+kb²tan²δ)
+    — no ``atan`` needed). Same math as :func:`kinematic_bicycle_ode`;
+    cached on the parameter tuple so the closure is a stable jit key."""
+
+    def ode_rows(xr, ur):
+        _px, _py, psi, v = xr
+        a, dl = ur
+        t = jnp.tan(dl)
+        den = jnp.sqrt(1.0 + (kb * kb) * t * t)
+        sinb = kb * t / den
+        cosb = 1.0 / den
+        sp, cp = jnp.sin(psi), jnp.cos(psi)
+        return (
+            v * (cp * cosb - sp * sinb),
+            v * (sp * cosb + cp * sinb),
+            v * sinb / lr,
+            acc * a - fric * v,
+        )
+
+    return ode_rows
+
+
 NX_DYNAMIC = 6  # (p_x, p_y, psi, v_x, v_y, omega)
 
 

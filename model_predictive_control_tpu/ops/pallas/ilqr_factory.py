@@ -233,6 +233,10 @@ def _tracker_tile_kernel(
     extra_order: int,  # 1 = Gauss-Newton AL Hessian, 2 = + exact act·∂²c
     n_params: int,
     runtime_weights: bool,
+    input_mode: str,  # "ode" | "additive" (x⁺ = step(x; exo) + u, B = I)
+    n_exo: int,
+    has_rw: bool,  # per-stage input-weight operand replaces RD
+    terminal_state_limits: tuple | None,  # box AL rows on x_N
     jac_pattern: tuple,  # (A_pat, B_pat) structural step-Jacobian sparsity
     outer_iters: int,
     inner_iters: int,
@@ -251,6 +255,10 @@ def _tracker_tile_kernel(
         ref_ref, *rest = rest
     else:
         ref_ref = None
+    if n_exo:
+        exo_ref, *rest = rest  # (N, n_exo, T) per-stage exogenous signals
+    else:
+        exo_ref = None
     if n_params:
         par_ref, *rest = rest
     else:
@@ -259,6 +267,10 @@ def _tracker_tile_kernel(
         w_ref, *rest = rest  # (nx + nu + 1, T): [Qd rows, Rd rows, qn]
     else:
         w_ref = None
+    if has_rw:
+        rw_ref, *rest = rest  # (N, nu, T) PER-STAGE input-weight rows
+    else:
+        rw_ref = None
     if has_lam:
         lam0_ref, *rest = rest
     else:
@@ -267,10 +279,14 @@ def _tracker_tile_kernel(
         us_out, xs_out, viol_out, conv_out, lam_out, ni_out,
         xs_s, us_s, xs_p, us_p, k_s, K_s, lam_s,
     ) = rest
+    # terminal_state_limits: lam_s/lam_out are allocated (N + 1, nc, T) and
+    # row N holds the TERMINAL box multipliers (2*nx rows used, zero-padded
+    # to nc — the wrapper enforces nc >= 2*nx)
     f32 = jnp.float32
     T = x0_ref.shape[-1]
     NZ = nx + nu  # jvp basis-pack width
-    LBU, UBU = limits
+    if limits is not None:
+        LBU, UBU = limits
     if runtime_weights:
         # cost weights as PER-SCENARIO (1, T) rows instead of compile-time
         # constants (round 5): every QD/RD/QN use below broadcasts against
@@ -300,23 +316,32 @@ def _tracker_tile_kernel(
 
     H = ts / substeps
 
-    def step_rows(xr, ur):
-        """One MPC interval: ``substeps`` classic RK4 (rk4_fine semantics) or
-        forward-Euler sub-steps (the reference's parking prediction model,
-        ``session_4/main.py:76``)."""
+    # per-stage exogenous rows ((1, T)); drive the ODE in additive mode
+    if n_exo:
+        def exo_rows(t_i):
+            er = exo_ref[t_i]  # (n_exo, T)
+            return tuple(er[e : e + 1] for e in range(n_exo))
+    else:
+        def exo_rows(t_i):
+            return None
+
+    def _integrate(xr, dr):
+        """``substeps`` classic RK4 (rk4_fine semantics) or forward-Euler
+        sub-steps (the reference's parking prediction model,
+        ``session_4/main.py:76``) of ``ode(x; dr)``."""
         if integrator == "euler":
             for _ in range(substeps):
-                k1 = ode_call(xr, ur)
+                k1 = ode_call(xr, dr)
                 xr = tuple(xr[i] + H * k1[i] for i in range(nx))
             return xr
         for _ in range(substeps):
-            k1 = ode_call(xr, ur)
+            k1 = ode_call(xr, dr)
             x2 = tuple(xr[i] + 0.5 * H * k1[i] for i in range(nx))
-            k2 = ode_call(x2, ur)
+            k2 = ode_call(x2, dr)
             x3 = tuple(xr[i] + 0.5 * H * k2[i] for i in range(nx))
-            k3 = ode_call(x3, ur)
+            k3 = ode_call(x3, dr)
             x4 = tuple(xr[i] + H * k3[i] for i in range(nx))
-            k4 = ode_call(x4, ur)
+            k4 = ode_call(x4, dr)
             xr = tuple(
                 xr[i]
                 + (H / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
@@ -324,29 +349,43 @@ def _tracker_tile_kernel(
             )
         return xr
 
-    def dyn(x, u):
+    if input_mode == "additive":
+        # x⁺ = step(x; exo_t) + u — the OCP input enters ADDITIVELY after
+        # integration (nu == nx, B = I). This is the moving-horizon-
+        # estimation shape (round 5): decision inputs are process noises,
+        # the recorded plant inputs ride the exo operand.
+        def step_rows(xr, ur, t_i):
+            base = _integrate(xr, exo_rows(t_i))
+            return tuple(base[i] + ur[i] for i in range(nx))
+    else:
+        def step_rows(xr, ur, t_i):
+            return _integrate(xr, ur)
+
+    def dyn(x, u, t_i):
         """x (nx, T), u (nu, T) -> x_next (nx, T)."""
         xr = step_rows(
             tuple(x[i : i + 1] for i in range(nx)),
             tuple(u[j : j + 1] for j in range(nu)),
+            t_i,
         )
         return jnp.concatenate(xr)
 
-    # jvp basis pack: sublane p of the (NZ, T) pack carries direction e_p
-    # (p < nx: state component p; p >= nx: input component p - nx). Built from
+    # jvp basis pack: sublane p of the (NB, T) pack carries direction e_p
+    # (p < nx: state component p; p >= nx: input component p - nx; additive
+    # mode differentiates over x only — B is the identity). Built from
     # iota — non-scalar captured constants are rejected by pallas.
-    _bi = jax.lax.broadcasted_iota(jnp.int32, (NZ, 1), 0)
+    NB = nx if input_mode == "additive" else NZ
+    _bi = jax.lax.broadcasted_iota(jnp.int32, (NB, 1), 0)
 
     def _basis(p):
-        return (_bi == p).astype(f32)  # (NZ, 1)
+        return (_bi == p).astype(f32)  # (NB, 1)
 
-    def dyn_jac(x, u):
+    def dyn_jac(x, u, t_i):
         """Full exact Jacobian of the RK4-substepped step via one packed jvp.
 
-        Returns (xn (nx, T), A[k][i] (1, T) entries, B[k][j] (1, T) entries)."""
-        prim = tuple(
-            jnp.broadcast_to(x[i : i + 1], (NZ, T)) for i in range(nx)
-        ) + tuple(jnp.broadcast_to(u[j : j + 1], (NZ, T)) for j in range(nu))
+        Returns (xn (nx, T), A[k][i] (1, T) entries, B[k][j] entries — (1, T)
+        rows, literal 1.0 on the diagonal in additive mode, or None for
+        structural zeros)."""
         # Each tangent gets a lane-VARYING zero added (0·x is not constant-
         # foldable — 0·NaN ≠ 0 — so it survives to the backend). Without it,
         # a model whose row depends on inputs/states only through constant
@@ -357,13 +396,9 @@ def _tracker_tile_kernel(
         # dim(i)"). Measured: no throughput change on the Pacejka tier.
         zero_lanes = 0.0 * x[0:1]  # (1, T)
         tang = tuple(
-            jnp.broadcast_to(_basis(p), (NZ, T)) + zero_lanes
-            for p in range(NZ)
+            jnp.broadcast_to(_basis(p), (NB, T)) + zero_lanes
+            for p in range(NB)
         )
-        out_p, out_t = jax.jvp(
-            lambda *z: step_rows(z[:nx], z[nx:]), prim, tang
-        )
-        xn = jnp.concatenate([out_p[k][0:1] for k in range(nx)])
         # structurally-zero entries (jaxpr dependency analysis at build time,
         # step_jacobian_pattern) become None — every backward product that
         # touches them is skipped at TRACE time. The kinematic bicycle drops
@@ -371,6 +406,38 @@ def _tracker_tile_kernel(
         # position columns vanish the same way the hand kernel's analytic
         # Jacobians do.
         A_pat, B_pat = jac_pattern
+        if input_mode == "additive":
+            er = exo_rows(t_i)
+            prim = tuple(
+                jnp.broadcast_to(x[i : i + 1], (NB, T)) for i in range(nx)
+            )
+            out_p, out_t = jax.jvp(
+                lambda *z: _integrate(z, er), prim, tang
+            )
+            xn = jnp.concatenate(
+                [out_p[k][0:1] + u[k : k + 1] for k in range(nx)]
+            )
+            B = [
+                [1.0 if k == j else None for j in range(nu)]
+                for k in range(nx)
+            ]
+        else:
+            prim = tuple(
+                jnp.broadcast_to(x[i : i + 1], (NB, T)) for i in range(nx)
+            ) + tuple(
+                jnp.broadcast_to(u[j : j + 1], (NB, T)) for j in range(nu)
+            )
+            out_p, out_t = jax.jvp(
+                lambda *z: step_rows(z[:nx], z[nx:], t_i), prim, tang
+            )
+            xn = jnp.concatenate([out_p[k][0:1] for k in range(nx)])
+            B = [
+                [
+                    out_t[k][nx + j : nx + j + 1] if B_pat[k][j] else None
+                    for j in range(nu)
+                ]
+                for k in range(nx)
+            ]
         A = [
             [
                 out_t[k][i : i + 1] if A_pat[k][i] else None
@@ -378,13 +445,6 @@ def _tracker_tile_kernel(
             ]
             for k in range(nx)
         ]  # A[k][i] = d x_next_k / d x_i
-        B = [
-            [
-                out_t[k][nx + j : nx + j + 1] if B_pat[k][j] else None
-                for j in range(nu)
-            ]
-            for k in range(nx)
-        ]
         return xn, A, B
 
     # ---- cost / constraints ---------------------------------------------------
@@ -393,10 +453,11 @@ def _tracker_tile_kernel(
     #                (+ n_extra user rows, c <= 0 form)
     def constraint_row_list(xr, ur):
         rows = []
-        for j in range(nu):
-            rows.append(ur[j] - UBU[j])
-        for j in range(nu):
-            rows.append(LBU[j] - ur[j])
+        if limits is not None:
+            for j in range(nu):
+                rows.append(ur[j] - UBU[j])
+            for j in range(nu):
+                rows.append(LBU[j] - ur[j])
         if state_limits is not None:
             LBX, UBX = state_limits
             for i in range(nx):
@@ -425,14 +486,37 @@ def _tracker_tile_kernel(
         def ref_rows(t_i):
             return None
 
+    def _wz(w):  # STATIC zero weight (Python float 0.0): emit no code
+        return isinstance(w, float) and w == 0.0
+
+    def _madd(a, b):  # None-aware accumulate (a may be a skipped zero term)
+        return b if a is None else a + b
+
     def _quad_err(xr, rr):
         if rr is None:
-            return sum(QD[i] * xr[i] * xr[i] for i in range(nx))
-        return sum(QD[i] * (xr[i] - rr[i]) * (xr[i] - rr[i]) for i in range(nx))
+            return sum(
+                QD[i] * xr[i] * xr[i] for i in range(nx) if not _wz(QD[i])
+            )
+        return sum(
+            QD[i] * (xr[i] - rr[i]) * (xr[i] - rr[i])
+            for i in range(nx)
+            if not _wz(QD[i])
+        )
 
-    def stage_cost_rows(xr, ur, lam, mu, rr):
+    # per-stage input-weight rows (runtime operand) or the static diagonal —
+    # e.g. the MHE arrival stage weighs its virtual δx₀ input with P₀⁻¹
+    # while every later stage weighs its process noise with Q_w⁻¹
+    if has_rw:
+        def rd_rows(t_i):
+            rw = rw_ref[t_i]  # (nu, T)
+            return tuple(rw[j : j + 1] for j in range(nu))
+    else:
+        def rd_rows(t_i):
+            return RD
+
+    def stage_cost_rows(xr, ur, lam, mu, rr, rd):
         rows = constraint_row_list(xr, ur)
-        quad = _quad_err(xr, rr) + sum(RD[j] * ur[j] * ur[j] for j in range(nu))
+        quad = _quad_err(xr, rr) + sum(rd[j] * ur[j] * ur[j] for j in range(nu))
         phi = jnp.zeros_like(quad)
         for r, c in enumerate(rows):
             lam_r = lam[r : r + 1]
@@ -447,14 +531,34 @@ def _tracker_tile_kernel(
             lam,
             mu,
             ref_rows(t_i),
+            rd_rows(t_i),
         )
 
-    def terminal_cost_rows(xr, rr):
-        return QN * _quad_err(xr, rr)
+    # terminal state-box AL rows (round 5, MHE shape: the estimator bounds
+    # x_N too; the multipliers live in lam_s[N])
+    if terminal_state_limits is not None:
+        TLB, TUB = terminal_state_limits
 
-    def terminal_cost_value(x):
+        def term_rows_list(xr):
+            return [xr[i] - TUB[i] for i in range(nx)] + [
+                TLB[i] - xr[i] for i in range(nx)
+            ]
+
+    def terminal_cost_rows(xr, rr, mu):
+        c = QN * _quad_err(xr, rr)
+        if terminal_state_limits is not None:
+            lamT = lam_s[N]
+            phi = jnp.zeros_like(c)
+            for r, cr in enumerate(term_rows_list(xr)):
+                lam_r = lamT[r : r + 1]
+                act = jnp.maximum(0.0, lam_r + mu * cr)
+                phi = phi + (act * act - lam_r * lam_r)
+            c = c + phi / (2.0 * mu)
+        return c
+
+    def terminal_cost_value(x, mu):
         return terminal_cost_rows(
-            tuple(x[i : i + 1] for i in range(nx)), ref_rows(N)
+            tuple(x[i : i + 1] for i in range(nx)), ref_rows(N), mu
         )
 
     # ---- user constraint-row derivatives (packed jvp) --------------------------
@@ -527,7 +631,9 @@ def _tracker_tile_kernel(
                 jnp.concatenate([dvals[r][p : p + 1] for r in range(n_extra)])
                 for p in range(NE)
             ]  # G[p] (m, T): ∂c_r/∂z_{DEPS[p]} in row r
-            base = 2 * nu + (2 * nx if state_limits is not None else 0)
+            base = (2 * nu if limits is not None else 0) + (
+                2 * nx if state_limits is not None else 0
+            )
             lam_e = lam[base : base + n_extra]  # (m, T)
             act = jnp.maximum(0.0, lam_e + mu * C)
             ind = mu * (act > 0.0).astype(f32)
@@ -539,7 +645,7 @@ def _tracker_tile_kernel(
                 gp = rsum(act * G[p])
                 d = DEPS[p]
                 if d < nx:
-                    lx[d] = lx[d] + gp
+                    lx[d] = _madd(lx[d], gp)
                 else:
                     lu[d - nx] = lu[d - nx] + gp
             # Gauss-Newton block: μ·1[act>0]·g gᵀ
@@ -578,7 +684,7 @@ def _tracker_tile_kernel(
                             hxx, huu, lux, DEPS[p], DEPS[q], col[p : p + 1]
                         )
 
-    def stage_derivs(x, u, lam, mu, rr):
+    def stage_derivs(x, u, lam, mu, rr, rd):
         """lx (list of nx (1,T)), lu (nu), and SPARSE second-derivative dicts:
         hxx {(i, j) i<=j}, huu {(a, b) a<=b}, lux {(a, i)}.
 
@@ -588,25 +694,34 @@ def _tracker_tile_kernel(
         pass emits no code for them, so configs without extra rows compile to
         exactly the round-4 diagonal kernel."""
         if rr is None:
-            lx = [2.0 * QD[i] * x[i : i + 1] for i in range(nx)]
+            lx = [
+                None if _wz(QD[i]) else 2.0 * QD[i] * x[i : i + 1]
+                for i in range(nx)
+            ]
         else:
-            lx = [2.0 * QD[i] * (x[i : i + 1] - rr[i]) for i in range(nx)]
-        lu = [2.0 * RD[j] * u[j : j + 1] for j in range(nu)]
+            lx = [
+                None if _wz(QD[i]) else 2.0 * QD[i] * (x[i : i + 1] - rr[i])
+                for i in range(nx)
+            ]
+        lu = [2.0 * rd[j] * u[j : j + 1] for j in range(nu)]
         one = jnp.ones((1, T), f32)
-        hxx = {(i, i): 2.0 * QD[i] * one for i in range(nx)}
-        huu = {(j, j): 2.0 * RD[j] * one for j in range(nu)}
+        hxx = {
+            (i, i): 2.0 * QD[i] * one for i in range(nx) if not _wz(QD[i])
+        }
+        huu = {(j, j): 2.0 * rd[j] * one for j in range(nu)}
         lux = {}
-        for j in range(nu):
-            cu = u[j : j + 1] - UBU[j]
-            cl = LBU[j] - u[j : j + 1]
-            act_u = jnp.maximum(0.0, lam[j : j + 1] + mu * cu)
-            act_l = jnp.maximum(0.0, lam[nu + j : nu + j + 1] + mu * cl)
-            lu[j] = lu[j] + act_u - act_l
-            ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
-            huu[(j, j)] = huu[(j, j)] + mu * ind
+        if limits is not None:
+            for j in range(nu):
+                cu = u[j : j + 1] - UBU[j]
+                cl = LBU[j] - u[j : j + 1]
+                act_u = jnp.maximum(0.0, lam[j : j + 1] + mu * cu)
+                act_l = jnp.maximum(0.0, lam[nu + j : nu + j + 1] + mu * cl)
+                lu[j] = lu[j] + act_u - act_l
+                ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
+                huu[(j, j)] = huu[(j, j)] + mu * ind
         if state_limits is not None:
             LBX, UBX = state_limits
-            off = 2 * nu
+            off = 2 * nu if limits is not None else 0
             for i in range(nx):
                 cu = x[i : i + 1] - UBX[i]
                 cl = LBX[i] - x[i : i + 1]
@@ -614,9 +729,9 @@ def _tracker_tile_kernel(
                 act_l = jnp.maximum(
                     0.0, lam[off + nx + i : off + nx + i + 1] + mu * cl
                 )
-                lx[i] = lx[i] + act_u - act_l
+                lx[i] = _madd(lx[i], act_u - act_l)
                 ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
-                hxx[(i, i)] = hxx[(i, i)] + mu * ind
+                hxx[(i, i)] = hxx.get((i, i), 0.0) + mu * ind
         if extra_call is not None:
             extra_derivs(x, u, lam, mu, lx, lu, hxx, huu, lux)
         return lx, lu, hxx, huu, lux
@@ -626,7 +741,7 @@ def _tracker_tile_kernel(
         xs_buf[0] = x0_ref[:]
 
         def body(t_i, x):
-            xn = dyn(x, us_from[t_i])
+            xn = dyn(x, us_from[t_i], t_i)
             xs_buf[t_i + 1] = xn
             return xn
 
@@ -639,7 +754,7 @@ def _tracker_tile_kernel(
             )
 
         cost = jax.lax.fori_loop(0, N, body, jnp.zeros((1, T), f32))
-        return cost + terminal_cost_value(xs_buf[N])
+        return cost + terminal_cost_value(xs_buf[N], mu)
 
     # ---- backward pass --------------------------------------------------------
     def backward(mu, reg):
@@ -649,17 +764,41 @@ def _tracker_tile_kernel(
         xN = xs_s[N]
         rrN = ref_rows(N)
         if rrN is None:
-            Vx = jnp.concatenate(
-                [2.0 * QN * QD[i] * xN[i : i + 1] for i in range(nx)]
-            )
+            vx_rows = [
+                None if _wz(QD[i]) else 2.0 * QN * QD[i] * xN[i : i + 1]
+                for i in range(nx)
+            ]
         else:
-            Vx = jnp.concatenate(
-                [2.0 * QN * QD[i] * (xN[i : i + 1] - rrN[i]) for i in range(nx)]
-            )
+            vx_rows = [
+                None
+                if _wz(QD[i])
+                else 2.0 * QN * QD[i] * (xN[i : i + 1] - rrN[i])
+                for i in range(nx)
+            ]
+        one_row = jnp.ones((1, T), f32)
+        vxx_diag = [
+            None if _wz(QD[i]) else 2.0 * QN * QD[i] * one_row
+            for i in range(nx)
+        ]
+        if terminal_state_limits is not None:
+            lamT = lam_s[N]
+            for i in range(nx):
+                cu = xN[i : i + 1] - TUB[i]
+                cl = TLB[i] - xN[i : i + 1]
+                act_u = jnp.maximum(0.0, lamT[i : i + 1] + mu * cu)
+                act_l = jnp.maximum(
+                    0.0, lamT[nx + i : nx + i + 1] + mu * cl
+                )
+                vx_rows[i] = _madd(vx_rows[i], act_u - act_l)
+                ind = (act_u > 0.0).astype(f32) + (act_l > 0.0).astype(f32)
+                vxx_diag[i] = _madd(vxx_diag[i], mu * ind)
         zero = jnp.zeros((1, T), f32)
+        Vx = jnp.concatenate([v if v is not None else zero for v in vx_rows])
         Vxx = jnp.concatenate(
             [
-                2.0 * QN * QD[i] * jnp.ones((1, T), f32) if i == j else zero
+                (vxx_diag[i] if vxx_diag[i] is not None else zero)
+                if i == j
+                else zero
                 for i in range(nx)
                 for j in range(nx)
             ]
@@ -669,7 +808,11 @@ def _tracker_tile_kernel(
         # or an absent Hessian-dict entry) — skipped at trace time, so the
         # emitted code only ever multiplies genuinely-nonzero entries.
         def _mul(a, b):
-            return None if (a is None or b is None) else a * b
+            if a is None or b is None:
+                return None
+            if isinstance(a, float) and a == 1.0:
+                return b
+            return a * b
 
         def _msum(terms):
             terms = [t for t in terms if t is not None]
@@ -690,9 +833,9 @@ def _tracker_tile_kernel(
             t_i = N - 1 - s
             x = xs_s[t_i]
             u = us_s[t_i]
-            _, A, B = dyn_jac(x, u)
+            _, A, B = dyn_jac(x, u, t_i)
             lx, lu, hxx, huu, lux = stage_derivs(
-                x, u, lam_s[t_i], mu, ref_rows(t_i)
+                x, u, lam_s[t_i], mu, ref_rows(t_i), rd_rows(t_i)
             )
 
             def V(i, j):
@@ -913,8 +1056,10 @@ def _tracker_tile_kernel(
             )
             for a in range(nu):
                 us_p[t_i, a] = ur[a]
-            cost = cost + stage_cost_rows(xr, ur, lam_s[t_i], mu, ref_rows(t_i))
-            xr = step_rows(xr, ur)
+            cost = cost + stage_cost_rows(
+                xr, ur, lam_s[t_i], mu, ref_rows(t_i), rd_rows(t_i)
+            )
+            xr = step_rows(xr, ur, t_i)
             return xr + (cost,)
 
         x0 = x0_ref[:]
@@ -924,7 +1069,7 @@ def _tracker_tile_kernel(
         out = jax.lax.fori_loop(0, N, body, init)
         for i in range(nx):
             xs_p[N, i] = out[i]
-        return out[nx] + terminal_cost_rows(out[:nx], ref_rows(N))
+        return out[nx] + terminal_cost_rows(out[:nx], ref_rows(N), mu)
 
     def select_blend(best_alpha, mask):
         """Accept per-lane: pull each lane's best-alpha candidate out of the
@@ -1028,13 +1173,37 @@ def _tracker_tile_kernel(
 
         z = jnp.zeros((1, T), f32)
         viol, step, lmax = jax.lax.fori_loop(0, N, body, (z, z, z))
+        if terminal_state_limits is not None:
+            xN = xs_s[N]
+            c_t = jnp.concatenate(
+                term_rows_list(tuple(xN[i : i + 1] for i in range(nx)))
+            )  # (2*nx, T)
+            lamT = lam_s[N][: 2 * nx]
+            lam_n = jnp.maximum(0.0, lamT + mu * c_t)
+            lam_s[N] = jnp.concatenate(
+                [lam_n, jnp.zeros((nc - 2 * nx, T), f32)]
+            ) if nc > 2 * nx else lam_n
+            viol = jnp.maximum(
+                viol, jnp.max(jnp.maximum(c_t, 0.0), axis=0, keepdims=True)
+            )
+            step = jnp.maximum(
+                step, jnp.max(jnp.abs(lam_n - lamT), axis=0, keepdims=True)
+            )
+            lmax = jnp.maximum(
+                lmax, jnp.max(jnp.abs(lam_n), axis=0, keepdims=True)
+            )
         lam_step = step / (1.0 + lmax)
         mu_n = jnp.where(viol > viol_tol, jnp.minimum(mu * mu_scale, mu_max), mu)
         return oi + 1, mu_n, viol, lam_step, ni
 
     # ---- init + run ---------------------------------------------------------------
+    n_lam = N + 1 if terminal_state_limits is not None else N
+
     def init_body(t_i, _):
         us_s[t_i] = u0_ref[t_i]
+        return 0
+
+    def init_lam(t_i, _):
         if has_lam:
             lam_s[t_i] = lam0_ref[t_i]
         else:
@@ -1042,6 +1211,7 @@ def _tracker_tile_kernel(
         return 0
 
     jax.lax.fori_loop(0, N, init_body, 0)
+    jax.lax.fori_loop(0, n_lam, init_lam, 0)
     rollout_into(xs_s, us_s)
 
     mu0 = jnp.full((1, T), mu_init, f32)
@@ -1053,10 +1223,14 @@ def _tracker_tile_kernel(
     def out_body(t_i, _):
         us_out[t_i] = us_s[t_i]
         xs_out[t_i] = xs_s[t_i]
+        return 0
+
+    def out_lam(t_i, _):
         lam_out[t_i] = lam_s[t_i]
         return 0
 
     jax.lax.fori_loop(0, N, out_body, 0)
+    jax.lax.fori_loop(0, n_lam, out_lam, 0)
     xs_out[N] = xs_s[N]
     viol_out[:] = viol
     conv_out[:] = (viol < viol_tol).astype(f32)
@@ -1069,7 +1243,8 @@ def _tracker_tile_kernel(
         "ode_rows", "nx", "nu", "N", "ts", "substeps", "integrator",
         "limits", "state_limits", "weights",
         "extra_constraints", "n_extra", "extra_deps", "extra_order",
-        "n_params", "outer_iters", "inner_iters", "tile",
+        "n_params", "input_mode", "n_exo", "terminal_state_limits",
+        "outer_iters", "inner_iters", "tile",
         "mu_init", "mu_scale", "mu_max", "viol_tol", "tol", "interpret",
     ),
 )
@@ -1085,7 +1260,7 @@ def fused_tracker_solve(
     N: int,
     ts: float,
     substeps: int,
-    limits: tuple,  # (lb_u(nu), ub_u(nu))
+    limits: tuple | None,  # (lb_u(nu), ub_u(nu)); None = unbounded inputs
     weights: tuple | None = None,  # (Qd(nx), Rd(nu), qn) — static path
     weights_rt: jnp.ndarray | None = None,  # (B, nx+nu+1) traced weights
     state_limits: tuple | None = None,  # (lb_x(nx), ub_x(nx))
@@ -1096,7 +1271,12 @@ def fused_tracker_solve(
     extra_order: int = 2,  # 2 = exact act·∂²c curvature, 1 = Gauss-Newton
     params: jnp.ndarray | None = None,  # (B, n_params) per-scenario ODE params
     n_params: int = 0,
-    lam_init: jnp.ndarray | None = None,  # (B, N, nc) AL warm start
+    input_mode: str = "ode",  # "additive": x⁺ = step(x; exo) + u, B = I
+    exo: jnp.ndarray | None = None,  # (B, N, n_exo) per-stage exogenous rows
+    n_exo: int = 0,
+    input_weights_rt: jnp.ndarray | None = None,  # (B, N, nu) per-stage Rd
+    terminal_state_limits: tuple | None = None,  # box AL rows on x_N
+    lam_init: jnp.ndarray | None = None,  # (B, N[+1], nc) AL warm start
     outer_iters: int = 6,
     inner_iters: int = 15,
     mu_init: float = 10.0,
@@ -1145,16 +1325,30 @@ def fused_tracker_solve(
         raise ValueError("params.shape[-1] must equal n_params")
     if (weights is None) == (weights_rt is None):
         raise ValueError("pass exactly one of weights / weights_rt")
+    if input_mode not in ("ode", "additive"):
+        raise ValueError("input_mode must be 'ode' or 'additive'")
+    if input_mode == "additive":
+        if nu != nx:
+            raise ValueError("additive input mode requires nu == nx (B = I)")
+        if exo is None or n_exo <= 0:
+            raise ValueError("additive input mode requires exo / n_exo")
     f32 = jnp.float32
     B = x0s.shape[0]
     track = refs is not None
     has_lam = lam_init is not None
     runtime_weights = weights_rt is not None
+    has_rw = input_weights_rt is not None
     nc = (
-        2 * nu
+        (2 * nu if limits is not None else 0)
         + (2 * nx if state_limits is not None else 0)
         + (n_extra if extra_constraints is not None else 0)
     )
+    if terminal_state_limits is not None and nc < 2 * nx:
+        raise ValueError(
+            "terminal_state_limits rides the lam buffer rows and needs "
+            "nc >= 2*nx (add a stage state box)"
+        )
+    n_lam = N + 1 if terminal_state_limits is not None else N
 
     Bp = ((B + tile - 1) // tile) * tile
     pad = Bp - B
@@ -1176,6 +1370,9 @@ def fused_tracker_solve(
     if track:
         operands.append(lanes(refs, (1, 2, 0)))  # (N+1, nx, B)
         in_specs_extra.append(spec3(N + 1, nx))
+    if n_exo:
+        operands.append(lanes(exo, (1, 2, 0)))  # (N, n_exo, B)
+        in_specs_extra.append(spec3(N, n_exo))
     if n_params:
         operands.append(lanes(params, (1, 0)))  # (n_params, B)
         in_specs_extra.append(spec2(n_params))
@@ -1184,9 +1381,12 @@ def fused_tracker_solve(
             raise ValueError("weights_rt must be (B, nx + nu + 1)")
         operands.append(lanes(weights_rt, (1, 0)))  # (nx+nu+1, B)
         in_specs_extra.append(spec2(nx + nu + 1))
+    if has_rw:
+        operands.append(lanes(input_weights_rt, (1, 2, 0)))  # (N, nu, B)
+        in_specs_extra.append(spec3(N, nu))
     if has_lam:
-        operands.append(lanes(lam_init, (1, 2, 0)))  # (N, nc, B)
-        in_specs_extra.append(spec3(N, nc))
+        operands.append(lanes(lam_init, (1, 2, 0)))  # (N[+1], nc, B)
+        in_specs_extra.append(spec3(n_lam, nc))
 
     kernel = functools.partial(
         _tracker_tile_kernel,
@@ -1207,7 +1407,22 @@ def fused_tracker_solve(
         extra_order=extra_order,
         n_params=n_params,
         runtime_weights=runtime_weights,
-        jac_pattern=step_jacobian_pattern(ode_rows, nx, nu, n_params),
+        input_mode=input_mode,
+        n_exo=n_exo,
+        has_rw=has_rw,
+        terminal_state_limits=terminal_state_limits,
+        jac_pattern=(
+            # additive mode: A pattern from the ODE's x-dependencies (exo
+            # columns play the "input" role in the analysis), B = identity
+            (
+                step_jacobian_pattern(ode_rows, nx, n_exo, n_params)[0],
+                tuple(
+                    tuple(k == j for j in range(nu)) for k in range(nx)
+                ),
+            )
+            if input_mode == "additive"
+            else step_jacobian_pattern(ode_rows, nx, nu, n_params)
+        ),
         outer_iters=outer_iters,
         inner_iters=inner_iters,
         mu_init=float(mu_init),
@@ -1230,14 +1445,14 @@ def fused_tracker_solve(
         in_specs=[spec2(nx), spec3(N, nu)] + in_specs_extra,
         out_specs=[
             spec3(N, nu), spec3(N + 1, nx), spec2(1), spec2(1),
-            spec3(N, nc), spec2(1),
+            spec3(n_lam, nc), spec2(1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, nu, Bp), f32),
             jax.ShapeDtypeStruct((N + 1, nx, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
-            jax.ShapeDtypeStruct((N, nc, Bp), f32),
+            jax.ShapeDtypeStruct((n_lam, nc, Bp), f32),
             jax.ShapeDtypeStruct((1, Bp), f32),
         ],
         scratch_shapes=[
@@ -1247,7 +1462,7 @@ def fused_tracker_solve(
             pltpu.VMEM((N, nu, len(ALPHAS), tile), f32),  # us_p
             pltpu.VMEM((N, nu, tile), f32),  # k_s
             pltpu.VMEM((N, nu * nx, tile), f32),  # K_s
-            pltpu.VMEM((N, nc, tile), f32),  # lam_s
+            pltpu.VMEM((n_lam, nc, tile), f32),  # lam_s (+ terminal row)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
