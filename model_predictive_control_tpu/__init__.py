@@ -104,7 +104,9 @@ from .ops.pallas.ilqr_factory import (
     make_fused_tracker,
     matan,
     rowform_to_vector,
+    step_jacobian_pattern,
 )
+from .ops.pallas.parking_factory import al_ilqr_parking_solve_factory
 from .solvers.parking import make_parking_ocp, make_parking_ilqr, NonlinearMPC
 from .solvers.nmpc_tracking import TrackingNMPC
 from .solvers.linear_mpc import (

@@ -24,7 +24,11 @@ from .batch import (
     initial_warm_carry,
     parking_sweep,
     perturb_parameters,
+    quadrotor_sweep,
+    racing_sweep,
+    racing_sweep_dynamic,
     random_initial_states,
+    thruster_sweep,
 )
 
 __all__ = [
@@ -45,5 +49,9 @@ __all__ = [
     "initial_warm_carry",
     "parking_sweep",
     "perturb_parameters",
+    "quadrotor_sweep",
+    "racing_sweep",
+    "racing_sweep_dynamic",
     "random_initial_states",
+    "thruster_sweep",
 ]

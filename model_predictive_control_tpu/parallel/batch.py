@@ -416,6 +416,7 @@ def parking_sweep(
     dtype=jnp.float32,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
+    u_seed=None,  # optional (B, N, nu) step-0 warm-start controls
 ) -> tuple[BatchSimResult, dict]:
     """The pod-scale robustness sweep: ``batch`` scenarios (randomized x0 ×
     perturbed plant), closed-loop obstacle parking, one jitted scan per segment.
@@ -513,6 +514,16 @@ def parking_sweep(
         seg_fn, carry_fn = cached
 
     carry0 = carry_fn(batch)
+    if u_seed is not None:
+        # geometry-aware warm seed for step 0 (round 5, the parking-tail
+        # experiment): replace the zero warm-start controls; the λ part of
+        # the carry (kernel path) stays zero
+        seed = jnp.asarray(u_seed, dtype).reshape(batch, N * NU)
+        carry0 = (
+            (seed,) + tuple(carry0[1:])
+            if isinstance(carry0, tuple)
+            else seed
+        )
 
     if checkpoint_every <= 0:
         res = seg_fn(x0s, plant_params, carry0, steps)
