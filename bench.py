@@ -52,6 +52,26 @@ Round-3 solver tuning (the roofline's identified gap, partially closed):
   0.99965, i120 8.65M @ 0.99975; the shipped point crosses 10M while
   keeping success above the round-2 recorded 0.9996).
 
+Round-5 compaction (VERDICT r4 item 7 — the tile-granular early-exit gap):
+
+- **Convergence-ordered scenario compaction, STATIC variant shipped**: the
+  kernel's early exit is per-tile, so one straggler pins 2048 lanes at the
+  full budget (round-4 measured: mean 50.8 of 80 iterations delivered).
+  Straggler-ness turns out to be a STATIC property of the scenario — the
+  long-iterating lanes are the boundary-activating ones — so sorting the
+  batch ONCE at episode start by boundary proximity
+  (``(p_max − p) − 3·max(v, 0)``) packs them into few tiles and lets the
+  rest exit early. Measured (tools/compaction_probe.py, 65k × 50):
+  baseline 10.43M solves/s at delivered 50.8 iters; **static sort 13.38M
+  (+28%) at delivered 34.6**; dynamic per-step re-binning by warm-start
+  displacement gets the same delivered win (34.9) but pays ~15% in
+  per-step gathers — 11.77M. Shipped: the static sort (argsort + one
+  gather inside the timed episode; per-scenario results unchanged — lane
+  ORDER is an implementation detail of an embarrassingly parallel batch).
+  The parking AL-iLQR sweep has no headroom for this: its tiles run the
+  full budget (mean_inner_iters = 90/90 — the inner grad tolerance is
+  below f32 resolution), so there is nothing to compact there.
+
 Run ``python bench.py --diagnose`` for the tail breakdown (extra human-readable
 lines before the final JSON line).
 """
@@ -98,6 +118,15 @@ def build():
     )
 
     def run_batch(x0s):
+        # round-5 compaction: sort scenarios ONCE by boundary proximity so
+        # the straggler (constraint-activating) lanes share tiles and the
+        # rest early-exit — +28% measured at identical per-lane tolerances
+        # (module docstring; the argsort+gather is timed as part of the
+        # episode). Lane order is an implementation detail of an
+        # embarrassingly parallel batch; success is reported over the same
+        # scenario set.
+        key = (problem.p_max - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
+        x0s = x0s[jnp.argsort(key)]
         # presolve: one deeper ADAPTIVE solve at the initial states warms step 0
         # up to the steady-state success rate; timed as part of the episode
         # (honest cost). Cold solves need rho adaptation; warm ones don't.
@@ -143,6 +172,9 @@ def measure_delivered(steps: int = STEPS) -> float:
 
     @jax.jit
     def run(x0s):
+        # same round-5 static compaction as the headline episode
+        key = (problem.p_max - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
+        x0s = x0s[jnp.argsort(key)]
         carry = ctrl.presolve_batch_carry(
             x0s, iters_mult=PRESOLVE_MULT, tile=TILE
         )
@@ -185,7 +217,12 @@ def diagnose(success, x0s) -> None:
         f"(failed-step histogram {[int(c) for c in hist]})"
     )
     if n_scen:
-        x0f = np.asarray(x0s)[per_scen > 0]
+        # success columns are in the compacted (sorted) lane order
+        key = (1.0 - np.asarray(x0s)[:, 0]) - 3.0 * np.maximum(
+            np.asarray(x0s)[:, 1], 0.0
+        )
+        x0s_sorted = np.asarray(x0s)[np.argsort(key)]
+        x0f = x0s_sorted[per_scen > 0]
         print(
             "# tail x0 region: p [%.1f, %.1f], v [%.1f, %.1f] "
             "(matches the full draw: the tail is transient active-set churn "

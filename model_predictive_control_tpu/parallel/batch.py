@@ -439,6 +439,17 @@ def parking_sweep(
     floors in BENCH_CONTRACT.json (success ≥ 0.90, parked ≥ 0.95) reflect
     this measured structure.
 
+    Round-5 negative result (``tools/tail_probe.py``, VERDICT r4 item 8):
+    DETOUR-SEEDED step-0 warm starts for the identified bucket (behind the
+    obstacle, |py| < 0.18 — 745/2048 draws; reversing/forward arcs away
+    from or toward the obstacle line at two magnitudes via ``u_seed=``)
+    move success 0.9320 → at best 0.9326 and bucket success 0.829 → 0.831.
+    The tail is PERSISTENT, not an initialization artifact: the seed only
+    shapes step 0, the receding-horizon warm starts take over from step 1,
+    and the grazing clearance activity re-emerges every step — consistent
+    with the round-4 finding that deeper budgets and μ schedules barely
+    move it either.
+
     ``mesh``: optional device mesh — inputs are placed with the scenario axis
     sharded over the data axis (ICI/DCN); the per-scenario solves are
     embarrassingly parallel so cross-device traffic is metrics-only.
