@@ -986,6 +986,15 @@ def tube_sweep(
         jax.random.choice(k_w, jnp.asarray([-1.0, 1.0]), shape=(steps, batch, 2))
         * jnp.asarray(w_half)
     ).astype(dtype)
+    # round-5 static compaction (the bench.py headline finding): sort once by
+    # boundary proximity so the straggler (constraint-activating) lanes share
+    # tiles and everyone else early-exits; lane order is an implementation
+    # detail of an embarrassingly parallel batch (disturbances follow)
+    order = jnp.argsort(
+        (float(problem.p_max) - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
+    )
+    x0s = x0s[order]
+    w = w[:, order]
 
     if mesh is not None:
         sh = batch_sharding(mesh)
@@ -1114,6 +1123,13 @@ def stochastic_sweep(
     w = jnp.zeros((steps, batch, 2), dtype).at[:, :, 1].set(
         sigma_v * jax.random.normal(k_w, (steps, batch), dtype)
     )
+    # round-5 static compaction (bench.py headline finding): straggler lanes
+    # share tiles; disturbances follow the lane order
+    order = jnp.argsort(
+        (float(problem.p_max) - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
+    )
+    x0s = x0s[order]
+    w = w[:, order]
 
     cfg = ("stoch", N, float(sigma_v), float(eps), iters, tile, backend,
            float(rho), steps, polish, jnp.dtype(dtype).name)
