@@ -30,18 +30,26 @@ run_chunks() {
     files=$(ls tests/$pat 2>/dev/null) || continue
     [ -z "$files" ] && continue
     echo "--- chunk: $pat ($marker)"
-    python -m pytest $files -q -m "$marker" || rc=1
+    python -m pytest $files -q -m "$marker"
+    prc=$?
+    # pytest exit 5 = no tests collected in this chunk for this marker
+    # (e.g. test_p*.py is all-slow) — not a failure
+    [ $prc -ne 0 ] && [ $prc -ne 5 ] && rc=1
   done
   return $rc
 }
 
 case "$tier" in
   smoke) exec python -m pytest tests -q -m "smoke and not slow" ;;
-  quick) run_chunks "not slow"; exit $? ;;
+  # `if` contexts keep set -e suppressed inside run_chunks so a failing (or
+  # empty, rc=5) chunk is tallied instead of aborting the loop
+  quick) if run_chunks "not slow"; then exit 0; else exit 1; fi ;;
   # halves of the quick tier for <10-min execution windows
   quick1) exec python -m pytest $(ls tests/test_[a-l]*.py) -q -m "not slow" ;;
   quick2) exec python -m pytest $(ls tests/test_[m-z]*.py) -q -m "not slow" ;;
-  full)  run_chunks "not slow" && run_chunks "slow"; exit $? ;;
+  full)
+    if run_chunks "not slow" && run_chunks "slow"; then exit 0; else exit 1; fi
+    ;;
   bench) exec python tools/check_bench.py ;;  # real-TPU regression gate vs BENCH_CONTRACT.json
   *) echo "usage: ci.sh [smoke|quick|quick1|quick2|full|bench]" >&2; exit 2 ;;
 esac
