@@ -26,13 +26,21 @@ import jax.numpy as jnp
 
 
 def _steady(fn, n_work):
-    """(first-call result, steady-state wall time, throughput)."""
+    """(first-call result, steady-state wall time, throughput).
+
+    Best-of-3 timed calls (fresh keys, jitted-segment cache hits): single
+    calls at the sub-second scale measured up to 50% low under transient
+    host contention (a full-gate run flaked three segments 30-50% below
+    values re-measured clean minutes later — round-5 incident)."""
     res, summary = fn(jax.random.PRNGKey(0))
     jax.block_until_ready(res.states)
-    t0 = time.perf_counter()
-    res2, summary2 = fn(jax.random.PRNGKey(1))
-    jax.block_until_ready(res2.states)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    summary2 = summary
+    for k in (1, 2, 3):
+        t0 = time.perf_counter()
+        res2, summary2 = fn(jax.random.PRNGKey(k))
+        jax.block_until_ready(res2.states)
+        dt = min(dt, time.perf_counter() - t0)
     summary2["wall_steady_s"] = round(dt, 3)
     summary2["solves_per_s"] = round(n_work / dt, 1)
     return summary2
@@ -178,10 +186,12 @@ def seg_mhe_batch():
     out = solve(x0, us, ys)
     jax.block_until_ready(out[0])
     x0, us, ys, Xs = make_data(jax.random.PRNGKey(1))
-    t0 = time.perf_counter()
-    out = solve(x0, us, ys)
-    jax.block_until_ready(out[0])
-    dt_s = time.perf_counter() - t0
+    dt_s = float("inf")
+    for _ in range(3):  # best-of-3 (see _steady)
+        t0 = time.perf_counter()
+        out = solve(x0, us, ys)
+        jax.block_until_ready(out[0])
+        dt_s = min(dt_s, time.perf_counter() - t0)
     xM, _, _, sol = out
     err = jnp.abs(xM[:, 0] - Xs[:, -1, 0])
     return {
