@@ -77,6 +77,25 @@ def test_parking_sweep_mesh_sharded():
     assert np.std(finals[:, 0]) > 0.0
 
 
+def test_parking_sweep_u_seed_plumbing():
+    """u_seed (round 5, the tail experiment's hook) replaces the step-0 warm
+    controls: the run stays healthy, and a seed vs the zero default produce
+    different (but both finite) trajectories on at least one scenario."""
+    kw = dict(batch=8, steps=2, x_obs=None, dtype=jnp.float64, **TINY)
+    res0, s0 = parking_sweep(key=jax.random.PRNGKey(5), **kw)
+    seed = jnp.tile(
+        jnp.asarray([-0.5, 0.2], jnp.float64), (8, TINY["N"], 1)
+    )
+    res1, s1 = parking_sweep(key=jax.random.PRNGKey(5), u_seed=seed, **kw)
+    assert np.all(np.isfinite(np.asarray(res1.states)))
+    assert s1["success_rate"] > 0.6
+    # the seed reaches the solver: step-0 solutions differ somewhere
+    assert (
+        np.abs(np.asarray(res0.inputs[0]) - np.asarray(res1.inputs[0])).max()
+        > 1e-6
+    )
+
+
 def test_parking_sweep_controller_knows_uses_per_scenario_model():
     resA, _ = parking_sweep(
         batch=6, steps=2, rel_scale=0.5, controller_knows=False,
