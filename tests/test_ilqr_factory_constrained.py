@@ -128,6 +128,54 @@ def test_factory_obstacle_rows_gauss_newton():
         assert abs(c1 - c2) <= 2e-3 * (1.0 + abs(c2)), (i, c1, c2)
 
 
+def test_factory_nu4_with_obstacle_rows():
+    """Cross-feature case: the nu=4 Cholesky backward AND a user clearance
+    row in the same kernel (a spherical keep-out on the thrust cluster's
+    path, state-only deps). Feasibility + binding + oracle certificate."""
+    from model_predictive_control_tpu.models.benchmarks import (
+        NU_THRUSTER,
+        NX_THRUSTER,
+        THRUSTER_PARAMS,
+        make_thruster_ode_rows,
+    )
+
+    ode_rows = make_thruster_ode_rows(THRUSTER_PARAMS)
+    ox, oy, oz, orad = 0.45, 0.0, 0.1, 0.25
+
+    def keepout_rows(xr, ur):
+        wx, wy, wz = xr[0] - ox, xr[1] - oy, xr[2] - oz
+        return (orad * orad - (wx * wx + wy * wy + wz * wz),)
+
+    limits = ((0.0,) * 4, (6.0,) * 4)
+    weights = ((5.0, 5.0, 5.0, 0.5, 0.5, 0.5), (0.02,) * 4, 10.0)
+    x0s = jnp.asarray(
+        [
+            [0.95, 0.05, 0.15, -0.3, 0.0, 0.0],  # straight line clips it
+            [0.8, -0.1, 0.2, 0.0, 0.0, -0.1],
+        ],
+        jnp.float32,
+    )
+    sol = fused_tracker_solve(
+        x0s, jnp.zeros((2, N, NU_THRUSTER), jnp.float32), None,
+        ode_rows=ode_rows, nx=NX_THRUSTER, nu=NU_THRUSTER, N=N, ts=TS,
+        substeps=SUB, limits=limits, weights=weights,
+        extra_constraints=keepout_rows, n_extra=1, extra_deps=(0, 1, 2),
+        extra_order=2,
+        outer_iters=OUTER, inner_iters=INNER, viol_tol=1e-4, tile=8,
+    )
+    assert bool(jnp.all(sol.converged))
+    p = np.asarray(sol.xs)[:, :N, :3]
+    d = np.sqrt(((p - np.array([ox, oy, oz])) ** 2).sum(-1)).min(axis=-1)
+    assert (d >= orad - 2e-3).all()  # keep-out respected
+    assert d.min() <= orad + 6e-2  # ... and actually shaping the path
+    certify_against_oracle(
+        ode_rows, NX_THRUSTER, NU_THRUSTER, x0s, None, limits, None,
+        weights, sol, N=N, ts=TS, substeps=SUB, outer_iters=OUTER,
+        inner_iters=INNER, atol=0.2, rel_cost_gap=1e-3,
+        extra_constraints=keepout_rows, n_extra=1,
+    )
+
+
 def test_factory_per_scenario_params_match_oracle():
     """params (B, 1) per-lane mass on the omnibase: one executable serves a
     2.5× mass spread; heavier lanes demand visibly larger forces; the oracle
