@@ -125,8 +125,11 @@ def build():
         # episode). Lane order is an implementation detail of an
         # embarrassingly parallel batch; success is reported over the same
         # scenario set.
-        key = (problem.p_max - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
-        x0s = x0s[jnp.argsort(key)]
+        from model_predictive_control_tpu.parallel.batch import (
+            boundary_compaction_key,
+        )
+
+        x0s = x0s[jnp.argsort(boundary_compaction_key(problem.p_max, x0s))]
         # presolve: one deeper ADAPTIVE solve at the initial states warms step 0
         # up to the steady-state success rate; timed as part of the episode
         # (honest cost). Cold solves need rho adaptation; warm ones don't.
@@ -173,8 +176,11 @@ def measure_delivered(steps: int = STEPS) -> float:
     @jax.jit
     def run(x0s):
         # same round-5 static compaction as the headline episode
-        key = (problem.p_max - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
-        x0s = x0s[jnp.argsort(key)]
+        from model_predictive_control_tpu.parallel.batch import (
+            boundary_compaction_key,
+        )
+
+        x0s = x0s[jnp.argsort(boundary_compaction_key(problem.p_max, x0s))]
         carry = ctrl.presolve_batch_carry(
             x0s, iters_mult=PRESOLVE_MULT, tile=TILE
         )
@@ -217,12 +223,19 @@ def diagnose(success, x0s) -> None:
         f"(failed-step histogram {[int(c) for c in hist]})"
     )
     if n_scen:
-        # success columns are in the compacted (sorted) lane order
-        key = (1.0 - np.asarray(x0s)[:, 0]) - 3.0 * np.maximum(
-            np.asarray(x0s)[:, 1], 0.0
+        # success columns are in the compacted (sorted) lane order — use the
+        # ONE shared key + jnp.argsort so attribution reproduces run_batch's
+        # exact (stable) ordering
+        import model_predictive_control_tpu as mpc_
+        from model_predictive_control_tpu.parallel.batch import (
+            boundary_compaction_key,
         )
-        x0s_sorted = np.asarray(x0s)[np.argsort(key)]
-        x0f = x0s_sorted[per_scen > 0]
+
+        p_max = mpc_.session2_problem(N=HORIZON).p_max
+        order = np.asarray(
+            jnp.argsort(boundary_compaction_key(p_max, jnp.asarray(x0s)))
+        )
+        x0f = np.asarray(x0s)[order][per_scen > 0]
         print(
             "# tail x0 region: p [%.1f, %.1f], v [%.1f, %.1f] "
             "(matches the full draw: the tail is transient active-set churn "

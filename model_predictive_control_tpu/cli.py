@@ -367,10 +367,13 @@ def main(argv=None) -> int:
         mesh = make_mesh(len(jax.devices()))
         if args.dynamic:
             sweep_fn = racing_sweep_dynamic
+            # the dynamic tier has no hand-vs-factory split (its fused kernel
+            # IS the factory instantiation) — map pallas-hand to pallas
+            be = "pallas" if args.backend == "pallas-hand" else args.backend
             kw = dict(
                 batch=args.batch, steps=args.steps, N=args.horizon,
                 rel_scale=min(args.rel_scale, 0.05),
-                backend=args.backend, mesh=mesh,
+                backend=be, mesh=mesh,
             )
         else:
             sweep_fn = racing_sweep

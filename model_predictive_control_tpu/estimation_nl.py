@@ -266,6 +266,12 @@ class NonlinearMHE:
         from .ops.pallas.ilqr_factory import fused_tracker_solve
 
         nx, M = self.nx, self.M
+        if self.x_min is None and self.x_max is None:
+            raise ValueError(
+                "solve_batch_fused requires state bounds (the AL kernel "
+                "needs constraint rows); the unbounded window belongs on "
+                "solve_batch / a Kalman smoother"
+            )
         for name, S in (("Qw", self.Qw), ("Rv", self.Rv), ("P0", self.P0)):
             off = np.asarray(S) - np.diag(np.diag(np.asarray(S)))
             if np.abs(off).max() > 1e-12:

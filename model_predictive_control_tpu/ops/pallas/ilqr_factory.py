@@ -50,9 +50,10 @@ rcracers model). Here the "symbolic layer" is jax tracing into the kernel,
 and the payoff is the fused-kernel throughput class (30-80x over vmapped
 XLA, measured) for ANY user model instead of one hand-ported specialization.
 
-Supported today: ``nu in (1, 2)`` (closed-form regularized Quu solves; the
-pattern extends by unrolled Cholesky — ``utils/smallsolve.py`` — when a
-wider-input model shows up), any ``nx`` small enough for VMEM (the scratch
+Supported today: ``1 <= nu <= 8`` (closed-form regularized Quu solves at
+nu <= 2, unrolled Cholesky — the ``utils/smallsolve.py`` pattern on (1, T)
+lanes — beyond; certified at nu=3/nu=4 in tests/test_ilqr_factory_wide.py),
+any ``nx`` small enough for VMEM (the scratch
 budget is ~((N+1)·nx·(1+A) + N·nu·(2+A) + N·nu·nx + N·nc) · tile · 4 bytes
 with A = len(ALPHAS) = 7 candidate-pack rows; nx ≤ ~12 is comfortable at
 tile 512 under the 100 MB scoped-VMEM cap).
@@ -1321,6 +1322,8 @@ def fused_tracker_solve(
             "extra_deps must be 'x', 'xu', or a tuple of z indices "
             "(x rows 0..nx-1, then u rows nx..nx+nu-1)"
         )
+    if (params is None) != (n_params == 0):
+        raise ValueError("pass params together with n_params > 0")
     if params is not None and n_params != params.shape[-1]:
         raise ValueError("params.shape[-1] must equal n_params")
     if (weights is None) == (weights_rt is None):
@@ -1343,6 +1346,11 @@ def fused_tracker_solve(
         + (2 * nx if state_limits is not None else 0)
         + (n_extra if extra_constraints is not None else 0)
     )
+    if nc == 0:
+        raise ValueError(
+            "the AL kernel needs at least one constraint row: pass an input "
+            "box (limits), a state box (state_limits), or extra_constraints"
+        )
     if terminal_state_limits is not None and nc < 2 * nx:
         raise ValueError(
             "terminal_state_limits rides the lam buffer rows and needs "

@@ -338,6 +338,17 @@ def initial_warm_carry(batch: int, N: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.zeros((batch, N * NU), dtype=dtype)
 
 
+def boundary_compaction_key(p_max: float, x0s: jnp.ndarray) -> jnp.ndarray:
+    """Round-5 static scenario-compaction sort key for the session-2 family:
+    ``(p_max − p) − 3·max(v, 0)`` — small for boundary-activating
+    (long-iterating) scenarios, so ``argsort`` packs the stragglers into few
+    kernel tiles and the per-tile early exit fires for everyone else
+    (bench.py headline: +26%; tube +15%; stochastic +9%). ONE definition —
+    diagnose()-style attribution must reproduce the exact lane order, so
+    every consumer sorts with ``jnp.argsort`` of THIS key."""
+    return (float(p_max) - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
+
+
 def batched_plant(plant_params: VehicleParameters, ts: float, substeps: int = 16):
     """(B, nx) × (B, nu) → (B, nx) plant with per-scenario parameters (fine-RK4
     "exact" tier, the odeint stand-in)."""
@@ -990,9 +1001,7 @@ def tube_sweep(
     # boundary proximity so the straggler (constraint-activating) lanes share
     # tiles and everyone else early-exits; lane order is an implementation
     # detail of an embarrassingly parallel batch (disturbances follow)
-    order = jnp.argsort(
-        (float(problem.p_max) - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
-    )
+    order = jnp.argsort(boundary_compaction_key(problem.p_max, x0s))
     x0s = x0s[order]
     w = w[:, order]
 
@@ -1125,9 +1134,7 @@ def stochastic_sweep(
     )
     # round-5 static compaction (bench.py headline finding): straggler lanes
     # share tiles; disturbances follow the lane order
-    order = jnp.argsort(
-        (float(problem.p_max) - x0s[:, 0]) - 3.0 * jnp.maximum(x0s[:, 1], 0.0)
-    )
+    order = jnp.argsort(boundary_compaction_key(problem.p_max, x0s))
     x0s = x0s[order]
     w = w[:, order]
 

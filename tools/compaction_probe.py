@@ -135,10 +135,11 @@ def main():
             # boundary proximity: distance of the position to the braking
             # wall p_max scaled by approach speed — the scenarios that
             # activate constraints (and iterate longest) sort together
-            key_v = (problem.p_max - xs[:, 0]) - 3.0 * jnp.maximum(
-                xs[:, 1], 0.0
+            from model_predictive_control_tpu.parallel.batch import (
+                boundary_compaction_key,
             )
-            xs = xs[jnp.argsort(key_v)]
+
+            xs = xs[jnp.argsort(boundary_compaction_key(problem.p_max, xs))]
         run = _episode(ctrl, system, mode)
         xT, nis = run(xs)
         jax.block_until_ready(xT)

@@ -10,7 +10,7 @@ both steer directions plus a magnitude sweep, and measures
 success/parked/throughput at the contract config against the zero-seed
 baseline.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/compaction_probe.py
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/tail_probe.py
 Outcome (ship or negative result) goes to the parking_sweep docstring +
 docs/ARCHITECTURE.md §3.
 """
