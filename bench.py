@@ -91,14 +91,20 @@ from model_predictive_control_tpu.control.batch_loop import simulate_batch
 BATCH = 65536
 STEPS = 50
 HORIZON = 20
-ADMM_ITERS = 80  # r3: warm solves exit early; 80-cap at probe 16 (docstring)
-PROBE_ITERS = 16  # r3: first exit check after 16 iters (warm solves pass it)
+ADMM_ITERS = 80  # r3: warm solves exit early; 80-cap (docstring)
+PROBE_ITERS = 8  # r5: compaction re-tune — sorted warm tiles pass even the
+#                  8-iteration check (r3 value 16; sweep below)
 PRESOLVE_MULT = 2  # r3: 2x-budget adaptive cold presolve (4x bought nothing)
 RHO = 0.035  # tuned fixed rho (see module docstring); r1 adaptive default: 0.1
-# tile sweep on v5e (65k batch, 50 steps, per-scenario early exit in kernel):
-# 512 → 4.74M, 1024 → 4.90M, 2048 → knee ~5.1M, 4096 ≈ flat. 100 MB scoped
-# VMEM cap set in the kernel wrapper.
-TILE = 2048
+# tile knee MOVED with round-5 compaction: pre-sort the knee was 2048 (512 →
+# 4.74M, 1024 → 4.90M, 2048 → 5.1M-class); with the sorted batch, SMALLER
+# tiles pay off (finer early-exit granularity now that convergence is
+# spatially coherent) — measured (65k × 50, best-of-3/5):
+#   tile 2048/probe 16 → 12.94M   tile 1024/16 → 13.21M
+#   tile 2048/probe 8  → 13.19M   tile 1024/8  → 13.47M
+#   tile  512/probe 8  → 13.68M @ success 0.99943 (knee; median 13.65M)
+#   tile  256/8 → 13.02M (dispatch), tile 512/4 → 13.06M (probe too early)
+TILE = 512
 TARGET_SOLVES_PER_S = 10_000.0
 
 
