@@ -67,7 +67,7 @@ def test_single_solve_matches_oracle():
     )
     np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=2e-4)
     # the rate bound binds in this scenario (otherwise the test is vacuous)
-    du0 = float(np.abs(np.asarray(u_traj)[0] - np.asarray(u_prev)))
+    du0 = float(np.abs(np.asarray(u_traj)[0] - np.asarray(u_prev)).max())
     assert du0 >= 3.0 - 1e-6 or np.abs(np.diff(np.asarray(u_traj)[:, 0])).max() >= 3.0 - 1e-4
 
 
